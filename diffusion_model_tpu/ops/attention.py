@@ -1,0 +1,146 @@
+"""Fused spatial self-attention block — XLA path and Pallas TPU kernel.
+
+The reference ``AttenionBlock`` [sic] (/root/reference/models/unet.py:31-51)
+flattens H×W to tokens, then runs LN → 4-head MHA → residual → (LN → Linear →
+GELU → Linear) + residual. Two quirks are preserved deliberately (documented
+in SURVEY.md §7 "hard parts"):
+
+1. ``x_ln = x = self.ln(x)`` (unet.py:47): the attention residual is added to
+   the **normed** tensor, not the raw input.
+2. The block's output replaces the input entirely (no outer residual).
+
+Token counts are small (≤ 28·28 = 784 tokens, C ≤ 256), so the whole block
+fits in VMEM per batch row; the Pallas kernel computes the entire chain in a
+single pass, avoiding 6 HBM round-trips. Both paths share one parameter
+layout and are pinned equal by tests/test_ops.py.
+
+Parameter dict layout (all float32):
+  ln_scale, ln_bias              (C,)
+  qkv_w (C, 3C), qkv_b (3C,)     packed in-projection like torch MHA
+  out_w (C, C),  out_b (C,)
+  ff_ln_scale, ff_ln_bias        (C,)
+  ff1_w (C, C), ff1_b (C,), ff2_w (C, C), ff2_b (C,)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..utils.env import pallas_supported
+from .kernel_math import gelu_exact
+
+PARAM_KEYS = (
+    "ln_scale", "ln_bias", "qkv_w", "qkv_b", "out_w", "out_b",
+    "ff_ln_scale", "ff_ln_bias", "ff1_w", "ff1_b", "ff2_w", "ff2_b",
+)
+
+
+def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                eps: float = 1e-5) -> jnp.ndarray:
+    mean = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _block_math(x: jnp.ndarray, p: Dict[str, jnp.ndarray], num_heads: int,
+                kernel: bool = False) -> jnp.ndarray:
+    """The full block on (T, C) or (B, T, C); shared by both backends.
+
+    ``kernel=True`` switches to Pallas-lowerable primitives (poly-erf GELU)
+    and skips the precision context (MXU f32 passes are set by Mosaic).
+    """
+    dt = jnp.float32
+    x = x.astype(dt)
+    gelu_fn = (
+        gelu_exact if kernel
+        else (lambda a: jax.nn.gelu(a, approximate=False))
+    )
+    # full-mantissa matmuls (multi-pass f32 on the MXU) in both backends so
+    # the fused kernel is numerically interchangeable with the XLA path
+    with jax.default_matmul_precision("highest"):
+        return _block_body(x, p, num_heads, dt, gelu_fn)
+
+
+def _block_body(x: jnp.ndarray, p: Dict[str, jnp.ndarray], num_heads: int,
+                dt, gelu_fn) -> jnp.ndarray:
+    T, C = x.shape[-2], x.shape[-1]
+    dh = C // num_heads
+
+    xn = _layer_norm(x, p["ln_scale"].astype(dt), p["ln_bias"].astype(dt))
+    qkv = xn @ p["qkv_w"].astype(dt) + p["qkv_b"].astype(dt)  # (..., T, 3C)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    # Per-head attention via static lane slices (Mosaic cannot reshape the
+    # lane dim into heads); 4 small matmul chains, concatenated on lanes.
+    inv_sqrt_dh = 1.0 / jnp.sqrt(jnp.asarray(dh, dt))
+    parts = []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]
+        scores = jnp.einsum("...td,...sd->...ts", qh, kh,
+                            preferred_element_type=dt) * inv_sqrt_dh
+        attn = jax.nn.softmax(scores, axis=-1)
+        parts.append(jnp.einsum("...ts,...sd->...td", attn, vh,
+                                preferred_element_type=dt))
+    ctx = jnp.concatenate(parts, axis=-1)
+    attn_out = ctx @ p["out_w"].astype(dt) + p["out_b"].astype(dt)
+
+    h = attn_out + xn  # reference quirk: residual uses the normed tensor
+    hn = _layer_norm(h, p["ff_ln_scale"].astype(dt), p["ff_ln_bias"].astype(dt))
+    ff = gelu_fn(hn @ p["ff1_w"].astype(dt) + p["ff1_b"].astype(dt))
+    ff = ff @ p["ff2_w"].astype(dt) + p["ff2_b"].astype(dt)
+    return ff + h
+
+
+def attention_block_reference(
+    x: jnp.ndarray, params: Dict[str, jnp.ndarray], num_heads: int = 4
+) -> jnp.ndarray:
+    """XLA path on (B, T, C) tokens."""
+    return _block_math(x, params, num_heads).astype(x.dtype)
+
+
+def _attn_kernel(x_ref, *refs, num_heads: int):
+    param_refs, o_ref = refs[:-1], refs[-1]
+    p = {k: r[:] for k, r in zip(PARAM_KEYS, param_refs)}
+    out = _block_math(x_ref[0], p, num_heads, kernel=True)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def attention_block_pallas(
+    x: jnp.ndarray, params: Dict[str, jnp.ndarray], num_heads: int = 4
+) -> jnp.ndarray:
+    """Pallas fused block: grid over batch, whole (T, C) row + params in VMEM."""
+    B, T, C = x.shape
+    plist = [params[k] for k in PARAM_KEYS]
+    in_specs = [pl.BlockSpec((1, T, C), lambda i: (i, 0, 0))]
+    for a in plist:
+        in_specs.append(
+            pl.BlockSpec(a.shape, (lambda i, n=a.ndim: (0,) * n))
+        )
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, T, C), lambda i: (i, 0, 0)),
+    )(x, *plist)
+    return out
+
+
+def attention_block(
+    x: jnp.ndarray,
+    params: Dict[str, jnp.ndarray],
+    num_heads: int = 4,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dispatching entry point on (B, T, C) tokens."""
+    if use_pallas is None:
+        use_pallas = pallas_supported()
+    if use_pallas:
+        return attention_block_pallas(x, params, num_heads=num_heads)
+    return attention_block_reference(x, params, num_heads=num_heads)

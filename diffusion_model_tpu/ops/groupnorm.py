@@ -1,0 +1,140 @@
+"""GroupNorm (+ fused GELU) for NHWC tensors — XLA path and Pallas TPU kernel.
+
+The reference uses ``nn.GroupNorm(1, C)`` inside every ResBlock (LayerNorm
+over C,H,W; /root/reference/models/unet.py:19,23) and ``nn.GroupNorm(8, C)``
+in the VAE (/root/reference/models/vae.py:19-47), always followed by GELU.
+On TPU the normalize-scale-shift-GELU chain is bandwidth-bound, so the Pallas
+kernel computes it in one VMEM pass per batch row. The XLA fallback is a
+straight-line jnp implementation that XLA also fuses well; both are exposed
+behind `group_norm(..., use_pallas=...)` with parity tests in
+tests/test_ops.py.
+
+Semantics match torch.nn.GroupNorm: normalize over (spatial, channels-in-
+group) per sample with biased variance, eps inside the sqrt, then per-channel
+affine. GELU is exact (erf) like torch's default.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..utils.env import pallas_supported
+from .kernel_math import gelu_exact
+
+
+def group_norm_reference(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-5,
+    apply_gelu: bool = False,
+) -> jnp.ndarray:
+    """NHWC GroupNorm via jnp (XLA fuses the chain)."""
+    B, H, W, C = x.shape
+    G = num_groups
+    xg = x.reshape(B, H * W, G, C // G)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
+    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xn.reshape(B, H, W, C) * weight + bias
+    if apply_gelu:
+        out = jax.nn.gelu(out, approximate=False)
+    return out
+
+
+def _gn_kernel(x_ref, w_ref, b_ref, o_ref, *, num_groups: int, eps: float,
+               apply_gelu: bool):
+    """One batch row per grid step: x_ref is (1, HW, C) in VMEM.
+
+    Mosaic cannot reshape the lane (channel) dimension, so grouped statistics
+    are computed with a (C, G) one-hot assignment matmul instead of a
+    (HW, G, C/G) reshape: per-channel sums reduce over sublanes, the matmul
+    folds channels into groups, and the transpose scatters group stats back
+    to channels. Everything stays 2D and MXU/VPU friendly.
+    """
+    x = x_ref[0].astype(jnp.float32)  # (HW, C)
+    hw, c = x.shape
+    g = num_groups
+    cg = c // g
+    n = float(hw * cg)
+
+    # Exact f32 VPU reductions per group via static lane slices (G ≤ 8);
+    # two-pass mean/variance for stability.
+    mean_parts, rstd_parts = [], []
+    for gi in range(g):
+        sl = x[:, gi * cg:(gi + 1) * cg]
+        m = jnp.sum(sl) / n
+        var = jnp.sum(jnp.square(sl - m)) / n
+        mean_parts.append(jnp.full((1, cg), m, jnp.float32))
+        rstd_parts.append(jnp.full((1, cg), jax.lax.rsqrt(var + eps),
+                                   jnp.float32))
+    mean_c = jnp.concatenate(mean_parts, axis=1)  # (1, C)
+    rstd_c = jnp.concatenate(rstd_parts, axis=1)
+
+    out = (x - mean_c) * rstd_c * w_ref[:].astype(jnp.float32) + b_ref[
+        :
+    ].astype(jnp.float32)
+    if apply_gelu:
+        out = gelu_exact(out)  # Mosaic can't lower erf; poly-erf GELU
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "eps", "apply_gelu")
+)
+def group_norm_pallas(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-5,
+    apply_gelu: bool = False,
+) -> jnp.ndarray:
+    """Pallas fused GroupNorm(+GELU); grid over batch, full row in VMEM.
+
+    Activations here are at most 28·28·512·4B ≈ 1.6 MB per row — comfortably
+    inside VMEM, so a single-pass kernel (no Welford tiling) is optimal.
+    """
+    B, H, W, C = x.shape
+    xf = x.reshape(B, H * W, C)
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_kernel, num_groups=num_groups, eps=eps, apply_gelu=apply_gelu
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H * W, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, H * W, C), lambda i: (i, 0, 0)),
+    )(xf, weight, bias)
+    return out.reshape(B, H, W, C)
+
+
+def group_norm(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-5,
+    apply_gelu: bool = False,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dispatching entry point. ``use_pallas=None`` auto-selects the kernel on
+    TPU and the XLA path elsewhere (CPU tests, interpret-mode debugging)."""
+    if use_pallas is None:
+        use_pallas = pallas_supported()
+    if use_pallas:
+        return group_norm_pallas(
+            x, weight, bias, num_groups, eps=eps, apply_gelu=apply_gelu
+        )
+    return group_norm_reference(
+        x, weight, bias, num_groups, eps=eps, apply_gelu=apply_gelu
+    )
