@@ -1,0 +1,91 @@
+"""Dataclass configs for every entry point, defaults = reference constants.
+
+The reference hardcodes configuration at the top of each script (SURVEY.md
+§5 "Config / flag system"), including absolute Windows paths; here each entry
+point takes one dataclass with CLI overrides. Defaults trace to:
+train_vae.py:55-57 (epochs=100, lr=1e-3, bs=64, patience=8, delta=5e-7),
+train_latent_cond.py:29-41 (bs=32, epochs=200, lr=1e-4, T=1000, z_ch=4,
+cfg_drop=0.1, geom_lambda=0, geom_dim=12, val_interval=5),
+generate_cond.py:47-51 (T=1000, 500 images/class, guidance 3.0),
+eval_iou_noise.py:304-313 (threshold=128, sigma=2.0).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class DataConfig:
+    """Where the (csv, image_dir, class_id) triples come from.
+
+    If ``train_items`` is empty, a synthetic dataset is generated under
+    ``synthetic_root`` (the reference's private dataset never shipped; the
+    renderer in data/synthetic.py replaces it)."""
+
+    train_items: List[Tuple[str, str, int]] = dataclasses.field(default_factory=list)
+    val_items: List[Tuple[str, str, int]] = dataclasses.field(default_factory=list)
+    synthetic_root: str = "./data"
+    synthetic_count: int = 256
+    synthetic_val_count: int = 64
+    image_size: Tuple[int, int] = (224, 224)
+    drawing_size: Tuple[float, float] = (400.0, 400.0)
+
+
+@dataclasses.dataclass
+class VAETrainConfig:
+    epochs: int = 100
+    lr: float = 1e-3
+    batch_size: int = 64
+    patience: int = 8
+    min_delta: float = 5e-7
+    base_channels: int = 64
+    z_channels: int = 4
+    save_dir: str = "./vae"
+    seed: int = 0
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    bf16: bool = True
+    resume_dir: Optional[str] = None
+
+
+@dataclasses.dataclass
+class LatentTrainConfig:
+    batch_size: int = 32
+    epochs: int = 200
+    lr: float = 1e-4
+    num_timesteps: int = 1000
+    z_channels: int = 4
+    cfg_drop_prob: float = 0.1
+    geom_lambda: float = 0.0
+    geom_dim: int = 12
+    val_interval: int = 5
+    vae_ckpt: str = ""            # path to vae_best.msgpack
+    vae_base_channels: int = 64
+    base_ch: int = 64
+    time_dim: int = 256
+    model_para_dir: str = "./model_para"
+    result_root: str = "./result"
+    seed: int = 0
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    bf16: bool = True
+    post_train_samples: int = 100  # sampled as class 1 after training
+    resume_dir: Optional[str] = None
+
+
+@dataclasses.dataclass
+class GenerateConfig:
+    unet_ckpt: str = ""
+    vae_ckpt: str = ""
+    num_timesteps: int = 1000
+    image_count: int = 500
+    guidance_scale: float = 3.0
+    out_dir: str = "./generated_by_cond"
+    run_name: Optional[str] = None
+    batch_size: int = 0           # 0 = whole class batch in one scan
+    base_ch: int = 64
+    time_dim: int = 256
+    z_channels: int = 4
+    vae_base_channels: int = 64
+    geom_dim: int = 12
+    seed: int = 0
+    bf16: bool = True

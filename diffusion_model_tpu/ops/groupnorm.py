@@ -118,6 +118,13 @@ def group_norm_pallas(
     return out.reshape(B, H, W, C)
 
 
+# The single-pass kernel keeps one (HW, C) row in VMEM with ~8-10× f32
+# temporaries (cast, centered, squared, per-group parts); beyond this row
+# budget (VAE-resolution activations like 224²×64) route to XLA, which tiles
+# the chain fine. 1 MB covers every U-Net stage and the deepest VAE stage.
+_VMEM_ROW_BUDGET = 1024 * 1024
+
+
 def group_norm(
     x: jnp.ndarray,
     weight: jnp.ndarray,
@@ -131,6 +138,9 @@ def group_norm(
     TPU and the XLA path elsewhere (CPU tests, interpret-mode debugging)."""
     if use_pallas is None:
         use_pallas = pallas_supported()
+    B, H, W, C = x.shape
+    if H * W * C * 4 > _VMEM_ROW_BUDGET:
+        use_pallas = False
     if use_pallas:
         return group_norm_pallas(
             x, weight, bias, num_groups, eps=eps, apply_gelu=apply_gelu

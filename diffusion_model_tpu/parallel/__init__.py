@@ -1,0 +1,23 @@
+from .mesh import (
+    batch_sharding,
+    initialize_distributed,
+    make_dp_tp_mesh,
+    make_mesh,
+    param_shardings,
+    replicate,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    "batch_sharding",
+    "initialize_distributed",
+    "make_dp_tp_mesh",
+    "make_mesh",
+    "param_shardings",
+    "replicate",
+    "replicated",
+    "shard_batch",
+    "shard_params",
+]

@@ -1,0 +1,370 @@
+"""High-level generation pipeline: the throughput-critical inference path.
+
+Capability parity with the reference ``Diffuser.sample*`` surface
+(/root/reference/diff.py:66-369) and ``EntityCsvSampler``
+(/root/reference/entityCsvSampler.py:9-199), re-architected TPU-first:
+
+- ONE jitted program per (batch-shape, guidance, decode) combination runs the
+  entire T-step reverse scan AND the VAE decode; latents never leave HBM and
+  the host sees only the final uint8 images (the reference does 1000 Python
+  steps × 2 model calls + chunked fp16 decode with gc/empty_cache,
+  diff.py:326-367);
+- CFG is one batched 2B forward per step (diffusion/sampling.py);
+- bf16 compute throughout the model, fp32 posterior math;
+- generation batches shard over the mesh's ``data`` axis — every chip runs
+  the scan on its slice (SURVEY.md §2 "DP (sampling)").
+
+Input-normalization parity: ``class_counts`` as ``{cls: n}`` / ``(cls, n)`` /
+``[(cls, n), ...]`` (diff.py:206-220); ``cond``/``cond_mask`` as dicts,
+per-sample dict lists, or (B, K) arrays (diff.py:241-312 via
+data.geometry.conditions_from_dicts).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import geometry as G
+from .diffusion import DiffusionSchedule, sample_loop, sample_loop_with_snapshots
+from .models import VAE, CondUNet
+from .parallel import make_mesh, shard_batch
+from .train.checkpoints import load_params
+
+ClassCounts = Union[Dict[int, int], Tuple[int, int], List[Tuple[int, int]]]
+
+
+def normalize_class_counts(cc: ClassCounts) -> List[Tuple[int, int]]:
+    """diff.py:206-220 normalization: {cls: n} | (cls, n) | [(cls, n)...]."""
+    if isinstance(cc, dict):
+        items = list(cc.items())
+    elif isinstance(cc, tuple) and len(cc) == 2:
+        items = [cc]
+    elif isinstance(cc, list):
+        items = list(cc)
+    else:
+        raise ValueError(
+            "class_counts must be {cls: n}, (cls, n), or a list of pairs"
+        )
+    items = [(int(c), int(n)) for c, n in items if int(n) > 0]
+    if not items:
+        raise ValueError("requested zero images")
+    return items
+
+
+def to_uint8(images: np.ndarray) -> np.ndarray:
+    """[0,1] float images → uint8 (diff.py:58-64 reverse_to_img)."""
+    return np.clip(np.asarray(images) * 255.0, 0, 255).astype(np.uint8)
+
+
+def to_pil_list(images: np.ndarray) -> list:
+    from PIL import Image
+
+    arr = to_uint8(images)
+    return [Image.fromarray(a) for a in arr]
+
+
+@dataclasses.dataclass
+class DiffusionPipeline:
+    """Bundles (unet, vae, schedule, params) with compiled samplers."""
+
+    unet: CondUNet
+    unet_params: dict
+    vae: Optional[VAE]
+    vae_params: Optional[dict]
+    schedule: DiffusionSchedule
+    use_data_parallel: bool = True
+
+    def __post_init__(self):
+        self._compiled = {}
+        self._mesh = None
+        if self.use_data_parallel and len(jax.devices()) > 1:
+            self._mesh = make_mesh(("data",))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoints(
+        cls,
+        unet_ckpt: str,
+        vae_ckpt: Optional[str],
+        unet: CondUNet,
+        vae: Optional[VAE],
+        schedule: Optional[DiffusionSchedule] = None,
+        latent_hw: Tuple[int, int] = (28, 28),
+        image_hw: Tuple[int, int] = (224, 224),
+    ) -> "DiffusionPipeline":
+        """Load msgpack params saved by the trainers (Utils.loadModel parity,
+        utils.py:67-73)."""
+        schedule = schedule or DiffusionSchedule.create(1000)
+        rng = jax.random.PRNGKey(0)
+        zc = unet.config.in_ch
+        dummy_z = jnp.zeros((1, latent_hw[0], latent_hw[1], zc))
+        target_u = unet.init(
+            rng, dummy_z, jnp.ones((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, unet.config.geom_dim)),
+            jnp.zeros((1, unet.config.geom_dim)),
+        )["params"]
+        unet_params = load_params(unet_ckpt, target_u)
+        vae_params = None
+        if vae is not None and vae_ckpt:
+            dummy_x = jnp.zeros((1, image_hw[0], image_hw[1], 3))
+            target_v = vae.init({"params": rng, "sample": rng}, dummy_x)[
+                "params"
+            ]
+            vae_params = load_params(vae_ckpt, target_v)
+        return cls(unet=unet, unet_params=unet_params, vae=vae,
+                   vae_params=vae_params, schedule=schedule)
+
+    # ------------------------------------------------------------------
+    def _eps_fn(self, params):
+        def eps(x, t, y, cv, cm):
+            out = self.unet.apply({"params": params}, x, t, y, cv, cm)
+            return out[0] if isinstance(out, tuple) else out
+        return eps
+
+    def _sampler(self, guidance_scale: float, decode: bool, snapshots: bool):
+        """Build (and cache) the jitted scan+decode program."""
+        key_ = (float(guidance_scale), decode, snapshots)
+        if key_ in self._compiled:
+            return self._compiled[key_]
+
+        def run(unet_params, vae_params, x_init, key, y, vals, mask,
+                snapshot_ts=None):
+            eps = self._eps_fn(unet_params)
+            if snapshots:
+                zf, snaps = sample_loop_with_snapshots(
+                    self.schedule, eps, x_init, key, snapshot_ts, y=y,
+                    cond_vals=vals, cond_mask=mask,
+                    guidance_scale=guidance_scale,
+                )
+            else:
+                zf = sample_loop(
+                    self.schedule, eps, x_init, key, y=y, cond_vals=vals,
+                    cond_mask=mask, guidance_scale=guidance_scale,
+                )
+                snaps = None
+            if decode and self.vae is not None:
+                out = self.vae.apply(
+                    {"params": vae_params}, zf, method=VAE.decode
+                )
+            else:
+                out = zf
+            return (out, snaps) if snapshots else out
+
+        jitted = jax.jit(run, static_argnames=())
+        self._compiled[key_] = jitted
+        return jitted
+
+    def _latent_shape(self, B: int, z_shape: Optional[Tuple[int, int, int]],
+                      image_hw: Tuple[int, int]) -> Tuple[int, int, int, int]:
+        if z_shape is not None:
+            c, h, w = z_shape  # reference passes (C, H, W)
+            return (B, h, w, c)
+        h, w = self.vae.config.latent_hw(*image_hw)
+        return (B, h, w, self.unet.config.in_ch)
+
+    # ------------------------------------------------------------------
+    def sample_latent_cond(
+        self,
+        class_counts: ClassCounts,
+        z_shape: Optional[Tuple[int, int, int]] = None,
+        cond=None,
+        cond_mask=None,
+        guidance_scale: float = 3.0,
+        key: Optional[jax.Array] = None,
+        to_pil: bool = True,
+        decode: bool = True,
+        image_hw: Tuple[int, int] = (224, 224),
+        batch_size: int = 0,
+    ):
+        """Conditional latent generation (diff.py:174-369 parity).
+
+        ``batch_size`` > 0 splits the request into fixed-size scan launches
+        (one compilation, reused); 0 runs everything in one scan.
+        Returns PIL images (default), float images (``to_pil=False``) or raw
+        latents (``decode=False``).
+        """
+        items = normalize_class_counts(class_counts)
+        y_list: List[int] = []
+        for cls_id, n in items:
+            y_list += [cls_id] * n
+        B = len(y_list)
+        vals_np, mask_np = G.conditions_from_dicts(cond, cond_mask, y_list)
+        y_np = np.asarray(y_list, dtype=np.int32)
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        run = self._sampler(guidance_scale, decode, snapshots=False)
+
+        chunks = []
+        step = batch_size if batch_size > 0 else B
+        for s in range(0, B, step):
+            e = min(s + step, B)
+            n = e - s
+            pad = step - n if (batch_size > 0 and e == B) else 0
+            sl = slice(s, e)
+            y_c = np.concatenate([y_np[sl], y_np[sl][:0]]) if pad == 0 else \
+                np.concatenate([y_np[sl], np.repeat(y_np[sl][-1:], pad, 0)])
+            v_c = vals_np[sl] if pad == 0 else np.concatenate(
+                [vals_np[sl], np.repeat(vals_np[sl][-1:], pad, 0)])
+            m_c = mask_np[sl] if pad == 0 else np.concatenate(
+                [mask_np[sl], np.repeat(mask_np[sl][-1:], pad, 0)])
+            bshape = self._latent_shape(len(y_c), z_shape, image_hw)
+            ck = jax.random.fold_in(key, s)
+            x_init = jax.random.normal(ck, bshape, dtype=jnp.float32)
+            args = dict(y=jnp.asarray(y_c), vals=jnp.asarray(v_c),
+                        mask=jnp.asarray(m_c))
+            if self._mesh is not None and len(y_c) % len(jax.devices()) == 0:
+                put = shard_batch(
+                    {"x": x_init, **args}, self._mesh
+                )
+                x_init, args = put["x"], {k: put[k] for k in args}
+            out = run(self.unet_params, self.vae_params, x_init,
+                      jax.random.fold_in(ck, 1), args["y"], args["vals"],
+                      args["mask"])
+            out = np.asarray(out)[: n]
+            chunks.append(out)
+        result = np.concatenate(chunks, axis=0)
+        if decode and to_pil:
+            return to_pil_list(result)
+        return result
+
+    # ------------------------------------------------------------------
+    def sample_latent(
+        self,
+        n: int,
+        z_shape: Optional[Tuple[int, int, int]] = None,
+        key: Optional[jax.Array] = None,
+        to_pil: bool = True,
+        decode: bool = True,
+        image_hw: Tuple[int, int] = (224, 224),
+    ):
+        """Unconditional latent sampling (diff.py:87-125 parity)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        shape = self._latent_shape(n, z_shape, image_hw)
+        x_init = jax.random.normal(key, shape, dtype=jnp.float32)
+        run = self._sampler(0.0, decode, snapshots=False)
+        out = run(self.unet_params, self.vae_params, x_init,
+                  jax.random.fold_in(key, 1),
+                  jnp.zeros((n,), jnp.int32), None, None)
+        out = np.asarray(out)
+        if decode and to_pil:
+            return to_pil_list(out)
+        return out
+
+    def sample_pixel(
+        self,
+        x_shape: Tuple[int, int, int, int] = (20, 80, 80, 3),
+        key: Optional[jax.Array] = None,
+        to_pil: bool = True,
+    ):
+        """Pixel-space sampling for a VAE-less model (diff.py:66-85 parity);
+        ``x_shape`` is NHWC."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        x_init = jax.random.normal(key, x_shape, dtype=jnp.float32)
+        run = self._sampler(0.0, False, snapshots=False)
+        out = np.asarray(
+            run(self.unet_params, None, x_init, jax.random.fold_in(key, 1),
+                jnp.zeros((x_shape[0],), jnp.int32), None, None)
+        )
+        return to_pil_list(out) if to_pil else out
+
+    # ------------------------------------------------------------------
+    def sample_latent_cond_with_steps(
+        self,
+        class_id: int,
+        cond_vals: np.ndarray,
+        cond_mask: np.ndarray,
+        snapshot_ts: Sequence[int],
+        z_shape: Optional[Tuple[int, int, int]] = None,
+        guidance_scale: float = 3.0,
+        key: Optional[jax.Array] = None,
+        image_hw: Tuple[int, int] = (224, 224),
+    ):
+        """Reverse diffusion capturing x_t at the given (1-indexed) steps —
+        the device-resident replacement for generate_steps.py's per-step host
+        sync. Returns (final_latents, snapshots (S, B, h, w, c))."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        B = int(np.asarray(cond_vals).shape[0])
+        shape = self._latent_shape(B, z_shape, image_hw)
+        x_init = jax.random.normal(key, shape, dtype=jnp.float32)
+        run = self._sampler(guidance_scale, False, snapshots=True)
+        y = jnp.full((B,), int(class_id), jnp.int32)
+        zf, snaps = run(
+            self.unet_params, self.vae_params, x_init,
+            jax.random.fold_in(key, 1), y, jnp.asarray(cond_vals),
+            jnp.asarray(cond_mask),
+            snapshot_ts=jnp.asarray(list(snapshot_ts), jnp.int32),
+        )
+        return np.asarray(zf), np.asarray(snaps)
+
+    def decode_latents(self, z: np.ndarray) -> np.ndarray:
+        """VAE decode helper (host-callable, jitted)."""
+        if not hasattr(self, "_decode_jit"):
+            self._decode_jit = jax.jit(
+                lambda p, z: self.vae.apply({"params": p}, z,
+                                            method=VAE.decode)
+            )
+        return np.asarray(self._decode_jit(self.vae_params, jnp.asarray(z)))
+
+
+class CsvConditionSampler:
+    """CSV → (cond_vals, cond_mask) → pipeline bridge
+    (EntityCsvSampler parity, entityCsvSampler.py:9-199).
+
+    ``base_wh`` fixes the drawing canvas; None infers it per CSV with
+    snap-to-canonical-sizes (entityCsvSampler.py:167-190).
+    """
+
+    KEY_ORDER = G.KEY_ORDER
+
+    def __init__(
+        self,
+        pipeline: DiffusionPipeline,
+        class_id: int = 1,
+        base_wh: Optional[Tuple[float, float]] = (400.0, 400.0),
+        image_hw: Tuple[int, int] = (224, 224),
+    ):
+        self.pipeline = pipeline
+        self.class_id = int(class_id)
+        self.base_wh = base_wh
+        self.image_hw = image_hw
+
+    def set_class_id(self, class_id: int) -> None:
+        self.class_id = int(class_id)
+
+    def load_cond(
+        self, csv_path: str, count: Optional[int] = None, start: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        import pandas as pd
+
+        df = pd.read_csv(csv_path, header=None)
+        rows = df.to_numpy(dtype=np.float32)
+        vals, mask = G.conditions_from_csv_rows(
+            rows, self.class_id, drawing_size=self.base_wh,
+            image_size=(float(self.image_hw[0]), float(self.image_hw[1])),
+        )
+        end = len(vals) if count is None else min(start + count, len(vals))
+        if start >= end:
+            raise ValueError("empty selection — check start/count")
+        return vals[start:end], mask[start:end]
+
+    def sample(
+        self,
+        csv_path: str,
+        count: Optional[int] = None,
+        start: int = 0,
+        guidance_scale: float = 3.0,
+        key: Optional[jax.Array] = None,
+        to_pil: bool = True,
+        batch_size: int = 0,
+    ):
+        vals, mask = self.load_cond(csv_path, count, start)
+        return self.pipeline.sample_latent_cond(
+            class_counts=(self.class_id, len(vals)),
+            cond=vals, cond_mask=mask, guidance_scale=guidance_scale,
+            key=key, to_pil=to_pil, image_hw=self.image_hw,
+            batch_size=batch_size,
+        )

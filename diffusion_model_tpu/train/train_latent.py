@@ -1,0 +1,296 @@
+"""Stage-2 latent conditional diffusion training (the core training entry).
+
+Capability parity with /root/reference/train_latent_cond.py:22-261, TPU-first:
+the ENTIRE per-batch body — frozen-VAE encode, t ~ U[1, T], q-sample, external
+CFG dropout (class label → 0 AND vals/mask zeroed for dropped samples,
+train_latent_cond.py:140-145), UNet forward, ε-MSE + λ·masked-geom-MSE, grads,
+Adam update — is ONE jitted XLA program with donated state (SURVEY.md §3.2:
+"the thing to fuse into one jitted TPU step function"). No micro-batched VAE
+encode (train_latent_cond.py:127-133): XLA schedules the whole batch.
+
+Reference bugs consciously fixed (SURVEY.md §7):
+- per-epoch reset of the best-loss guard (train_latent_cond.py:112) → the
+  rolling ``model_para`` checkpoint tracks the global best batch loss;
+- internal vs external cond dropout is unambiguous: the module never drops.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ..config import LatentTrainConfig
+from ..data import LabelDataset, PrefetchLoader
+from ..data.synthetic import generate_all_classes
+from ..diffusion import DiffusionSchedule, q_sample
+from ..models import VAE, VAEConfig, CondUNet, UNetConfig
+from ..parallel import make_mesh, shard_batch
+from .checkpoints import load_params, save_params
+from .losses import masked_geom_mse
+from .recorder import MetricsLogger, record_result
+
+
+def build_models(cfg: LatentTrainConfig) -> Tuple[VAE, CondUNet]:
+    dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    vae = VAE(VAEConfig(
+        z_channels=cfg.z_channels,
+        base_channels=cfg.vae_base_channels,
+        dtype=dt,
+    ))
+    unet = CondUNet(UNetConfig(
+        in_ch=cfg.z_channels,
+        time_dim=cfg.time_dim,
+        num_classes=3,
+        geom_dim=cfg.geom_dim,
+        with_geom_head=True,
+        base_ch=cfg.base_ch,
+        dtype=dt,
+    ))
+    return vae, unet
+
+
+def create_latent_state(
+    rng: jax.Array, cfg: LatentTrainConfig, unet: CondUNet,
+    latent_hw: Tuple[int, int],
+) -> train_state.TrainState:
+    B = 2
+    dummy_z = jnp.zeros((B, latent_hw[0], latent_hw[1], cfg.z_channels))
+    variables = unet.init(
+        rng, dummy_z, jnp.ones((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, cfg.geom_dim)), jnp.zeros((B, cfg.geom_dim)),
+    )
+    return train_state.TrainState.create(
+        apply_fn=unet.apply, params=variables["params"],
+        tx=optax.adam(cfg.lr),
+    )
+
+
+def make_latent_train_step(
+    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
+    cfg_drop_prob: float, geom_lambda: float,
+):
+    T = schedule.num_timesteps
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: train_state.TrainState, vae_params, batch, key):
+        k_vae, k_t, k_noise, k_drop = jax.random.split(key, 4)
+
+        # frozen VAE encode (no grads flow: params are a closure-free arg
+        # and the loss never differentiates w.r.t. them)
+        z, _ = vae.apply(
+            {"params": vae_params}, batch["image"], method=VAE.encode,
+            rngs={"sample": k_vae},
+        )
+        B = z.shape[0]
+        t = jax.random.randint(k_t, (B,), 1, T + 1)
+        noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
+        z_noisy = q_sample(schedule, z, t, noise)
+
+        # external CFG dropout (class + numeric together)
+        drop = jax.random.uniform(k_drop, (B,)) < cfg_drop_prob
+        y_used = jnp.where(drop, 0, batch["y"]).astype(jnp.int32)
+        keep = (~drop).astype(jnp.float32)[:, None]
+        vals_used = batch["vals"] * keep
+        mask_used = batch["mask"] * keep
+
+        def loss_fn(params):
+            eps_pred, geom_pred = unet.apply(
+                {"params": params}, z_noisy, t, y_used, vals_used, mask_used
+            )
+            loss_noise = jnp.mean(jnp.square(eps_pred - noise))
+            # geom supervision targets the TRUE vals, masked by keep
+            loss_geom = masked_geom_mse(
+                geom_pred, batch["vals"], batch["mask"] * keep
+            )
+            loss = loss_noise + geom_lambda * loss_geom
+            return loss, {"loss_noise": loss_noise, "loss_geom": loss_geom}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss, **aux}
+
+    return step
+
+
+def make_latent_eval_step(
+    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule, geom_lambda: float
+):
+    """Validation: no dropout (conditional performance,
+    train_latent_cond.py:195-209)."""
+    T = schedule.num_timesteps
+
+    @jax.jit
+    def step(params, vae_params, batch, key):
+        k_vae, k_t, k_noise = jax.random.split(key, 3)
+        z, _ = vae.apply(
+            {"params": vae_params}, batch["image"], method=VAE.encode,
+            rngs={"sample": k_vae},
+        )
+        B = z.shape[0]
+        t = jax.random.randint(k_t, (B,), 1, T + 1)
+        noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
+        z_noisy = q_sample(schedule, z, t, noise)
+        eps_pred, geom_pred = unet.apply(
+            {"params": params}, z_noisy, t, batch["y"].astype(jnp.int32),
+            batch["vals"], batch["mask"],
+        )
+        loss_noise = jnp.mean(jnp.square(eps_pred - noise))
+        loss_geom = masked_geom_mse(geom_pred, batch["vals"], batch["mask"])
+        return {"loss": loss_noise + geom_lambda * loss_geom,
+                "loss_noise": loss_noise, "loss_geom": loss_geom}
+
+    return step
+
+
+def _resolve_datasets(cfg: LatentTrainConfig):
+    data = cfg.data
+    train_items, val_items = list(data.train_items), list(data.val_items)
+    if not train_items:
+        dirs = generate_all_classes(
+            data.synthetic_root, data.synthetic_count,
+            image_size=data.image_size, seed=cfg.seed,
+        )
+        train_items = [(f"{d}/{d.rsplit('/', 1)[-1]}.csv", d, cls)
+                       for cls, d in dirs.items()]
+    if not val_items:
+        dirs = generate_all_classes(
+            data.synthetic_root, data.synthetic_val_count,
+            image_size=data.image_size, seed=cfg.seed + 1000, suffix="_val",
+        )
+        val_items = [(f"{d}/{d.rsplit('/', 1)[-1]}.csv", d, cls)
+                     for cls, d in dirs.items()]
+    mk = functools.partial(
+        LabelDataset, image_size=data.image_size,
+        drawing_size=data.drawing_size,
+    )
+    return mk(train_items), mk(val_items)
+
+
+def train_latent_cond(cfg: LatentTrainConfig,
+                      vae_params=None) -> dict:
+    """Full stage-2 run. ``vae_params`` may be passed directly (tests) or
+    loaded from ``cfg.vae_ckpt``. Returns a summary dict."""
+    import os
+
+    mesh = make_mesh(("data",))
+    vae, unet = build_models(cfg)
+    schedule = DiffusionSchedule.create(cfg.num_timesteps)
+
+    if vae_params is None:
+        if not cfg.vae_ckpt:
+            raise ValueError("cfg.vae_ckpt is required (stage-1 output)")
+        ih, iw = cfg.data.image_size
+        dummy = jnp.zeros((1, ih, iw, 3))
+        rng0 = jax.random.PRNGKey(0)
+        target = vae.init({"params": rng0, "sample": rng0}, dummy)["params"]
+        vae_params = load_params(cfg.vae_ckpt, target)
+
+    train_ds, val_ds = _resolve_datasets(cfg)
+    put = functools.partial(shard_batch, mesh=mesh)
+    train_loader = PrefetchLoader(train_ds, cfg.batch_size, shuffle=True,
+                                  seed=cfg.seed, device_put_fn=put)
+    val_loader = PrefetchLoader(val_ds, cfg.batch_size, shuffle=False,
+                                device_put_fn=put)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    ih, iw = cfg.data.image_size
+    state = create_latent_state(rng, cfg, unet, (ih // 8, iw // 8))
+    train_step = make_latent_train_step(
+        unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda
+    )
+    eval_step = make_latent_eval_step(unet, vae, schedule, cfg.geom_lambda)
+
+    os.makedirs(cfg.model_para_dir, exist_ok=True)
+    rolling_path = os.path.join(cfg.model_para_dir, "trained_para.msgpack")
+    metrics = MetricsLogger(os.path.join(cfg.model_para_dir, "metrics.jsonl"))
+
+    train_losses, val_losses = [], []
+    best_batch_loss = float("inf")  # global, not per-epoch (bug fix)
+    start = time.time()
+    for epoch in range(1, cfg.epochs + 1):
+        tot, cnt = 0.0, 0
+        for batch in train_loader:
+            rng, sk = jax.random.split(rng)
+            state, m = train_step(state, vae_params, batch, sk)
+            loss = float(m["loss"])
+            tot += loss
+            cnt += 1
+            if loss < best_batch_loss:
+                best_batch_loss = loss
+                save_params(rolling_path, state.params)
+        train_loss = tot / max(cnt, 1)
+        train_losses.append(train_loss)
+
+        if epoch % cfg.val_interval == 0:
+            vt, vc = 0.0, 0
+            for batch in val_loader:
+                rng, sk = jax.random.split(rng)
+                m = eval_step(state.params, vae_params, batch, sk)
+                vt += float(m["loss"])
+                vc += 1
+            val_loss = vt / max(vc, 1)
+            val_losses.append(val_loss)
+            print(f"[Epoch {epoch:03d}] train={train_loss:.6f}  "
+                  f"val={val_loss:.6f}")
+        else:
+            val_losses.append(float("nan"))
+            print(f"[Epoch {epoch:03d}] train={train_loss:.6f}  val=skip")
+        metrics.log(kind="epoch", epoch=epoch, train_loss=train_loss,
+                    val_loss=val_losses[-1], elapsed_s=time.time() - start)
+
+    learning_time = time.time() - start
+
+    # post-training sample (train_latent_cond.py:227-244): 100 class-1 images
+    images = None
+    if cfg.post_train_samples > 0:
+        try:
+            from ..pipeline import DiffusionPipeline
+
+            pipe = DiffusionPipeline(
+                unet=unet, unet_params=state.params, vae=vae,
+                vae_params=vae_params, schedule=schedule,
+            )
+            images = pipe.sample_latent_cond(
+                class_counts={1: cfg.post_train_samples},
+                guidance_scale=0.0, key=jax.random.fold_in(rng, 99),
+                image_hw=cfg.data.image_size,
+            )
+        except Exception as e:  # parity: continue without images
+            print(f"Sampling failed, continue without images: {e}")
+
+    run_dir = record_result(
+        result_root=cfg.result_root,
+        model_params=state.params,
+        train_losses=train_losses,
+        val_losses=val_losses,
+        images=images,
+        batch_size=cfg.batch_size,
+        num_timesteps=cfg.num_timesteps,
+        epochs=cfg.epochs,
+        learning_rate=cfg.lr,
+        device=jax.default_backend(),
+        learning_time=learning_time,
+        geom_lambda=cfg.geom_lambda,
+        cfg_drop_prob=cfg.cfg_drop_prob,
+        network="diffusion_model_tpu.models.unet.CondUNet(with_geom_head)",
+    )
+    metrics.close()
+    return {
+        "run_dir": run_dir,
+        "rolling_ckpt": rolling_path,
+        "train_losses": train_losses,
+        "val_losses": val_losses,
+        "learning_time": learning_time,
+        "final_state": state,
+        "unet": unet,
+        "vae": vae,
+        "vae_params": vae_params,
+        "schedule": schedule,
+    }
