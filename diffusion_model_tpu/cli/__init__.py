@@ -1,0 +1,13 @@
+"""CLI entry points mirroring the reference scripts (SURVEY.md §1 L5):
+
+  python -m diffusion_model_tpu.cli.train_vae          (train_vae.py)
+  python -m diffusion_model_tpu.cli.train_latent_cond  (train_latent_cond.py)
+  python -m diffusion_model_tpu.cli.generate_cond      (generate_cond.py)
+  python -m diffusion_model_tpu.cli.generate_steps     (generate_steps.py)
+  python -m diffusion_model_tpu.cli.eval_iou_noise     (eval_iou_noise.py)
+  python -m diffusion_model_tpu.cli.image_tools        (image_tools.py)
+  python -m diffusion_model_tpu.cli.vae_recon_check    (vae_recon_check.py)
+  python -m diffusion_model_tpu.cli.make_dataset       (no reference
+      counterpart: the synthetic line/circle/arc dataset generator the
+      reference never shipped)
+"""

@@ -1,0 +1,71 @@
+"""CLI: stage-2 conditional latent diffusion training
+(reference entry /root/reference/train_latent_cond.py; defaults bs=32,
+epochs=200, lr=1e-4, T=1000, cfg_drop=0.1, geom_lambda=0)."""
+from __future__ import annotations
+
+import argparse
+
+from ..config import DataConfig, LatentTrainConfig
+from ..train import train_latent_cond
+from .train_vae import parse_items
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        description="Train the conditional latent U-Net with geometry head"
+    )
+    ap.add_argument("--vae_ckpt", type=str, required=True,
+                    help="stage-1 vae_best.msgpack")
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--num_timesteps", type=int, default=1000)
+    ap.add_argument("--z_channels", type=int, default=4)
+    ap.add_argument("--cfg_drop_prob", type=float, default=0.1)
+    ap.add_argument("--geom_lambda", type=float, default=0.0)
+    ap.add_argument("--geom_dim", type=int, default=12)
+    ap.add_argument("--val_interval", type=int, default=5)
+    ap.add_argument("--base_ch", type=int, default=64)
+    ap.add_argument("--time_dim", type=int, default=256)
+    ap.add_argument("--vae_base_channels", type=int, default=64)
+    ap.add_argument("--model_para_dir", type=str, default="./model_para")
+    ap.add_argument("--result_root", type=str, default="./result")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no_bf16", action="store_true")
+    ap.add_argument("--post_train_samples", type=int, default=100)
+    ap.add_argument("--items", action="append", default=None,
+                    help="train data: csv,image_dir,class_id (repeatable)")
+    ap.add_argument("--val_items", action="append", default=None)
+    ap.add_argument("--image_size", type=int, nargs=2, default=(224, 224))
+    ap.add_argument("--synthetic_root", type=str, default="./data")
+    ap.add_argument("--synthetic_count", type=int, default=256)
+    return ap
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = LatentTrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+        num_timesteps=args.num_timesteps, z_channels=args.z_channels,
+        cfg_drop_prob=args.cfg_drop_prob, geom_lambda=args.geom_lambda,
+        geom_dim=args.geom_dim, val_interval=args.val_interval,
+        vae_ckpt=args.vae_ckpt, vae_base_channels=args.vae_base_channels,
+        base_ch=args.base_ch, time_dim=args.time_dim,
+        model_para_dir=args.model_para_dir, result_root=args.result_root,
+        seed=args.seed, bf16=not args.no_bf16,
+        post_train_samples=args.post_train_samples,
+        data=DataConfig(
+            train_items=parse_items(args.items),
+            val_items=parse_items(args.val_items),
+            synthetic_root=args.synthetic_root,
+            synthetic_count=args.synthetic_count,
+            image_size=tuple(args.image_size),
+        ),
+    )
+    res = train_latent_cond(cfg)
+    print(f"[OK] run dir: {res['run_dir']}")
+    print(f"[OK] rolling checkpoint: {res['rolling_ckpt']}")
+
+
+if __name__ == "__main__":
+    main()
