@@ -15,9 +15,17 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: the T=1000 scan costs ~3 min to compile
+# cold; cached reruns start in seconds
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 BASELINE_CPU_IMAGES_PER_SEC = 0.0110  # PyTorch reference, CPU, B=8 (BASELINE.md)

@@ -45,7 +45,8 @@ class VAETrainConfig:
     seed: int = 0
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     bf16: bool = True
-    resume_dir: Optional[str] = None
+    resume_dir: Optional[str] = None   # Orbax dir to resume from / save to
+    profile_dir: Optional[str] = None  # jax.profiler trace output
 
 
 @dataclasses.dataclass
@@ -69,7 +70,8 @@ class LatentTrainConfig:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     bf16: bool = True
     post_train_samples: int = 100  # sampled as class 1 after training
-    resume_dir: Optional[str] = None
+    resume_dir: Optional[str] = None   # Orbax dir to resume from / save to
+    profile_dir: Optional[str] = None  # jax.profiler trace output
 
 
 @dataclasses.dataclass

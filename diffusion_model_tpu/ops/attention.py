@@ -11,8 +11,15 @@ in SURVEY.md §7 "hard parts"):
 
 Token counts are small (≤ 28·28 = 784 tokens, C ≤ 256), so the whole block
 fits in VMEM per batch row; the Pallas kernel computes the entire chain in a
-single pass, avoiding 6 HBM round-trips. Both paths share one parameter
-layout and are pinned equal by tests/test_ops.py.
+single pass, avoiding 6 HBM round-trips.
+
+Precision policy: f32 inputs run full-mantissa matmuls (torch parity,
+pinned by tests); bf16 inputs (the production compute dtype) run bf16
+matmuls with f32 accumulation, f32 LN statistics, and f32 softmax.
+
+Autodiff: the Pallas kernel carries a ``custom_vjp`` whose backward is the
+VJP of the XLA reference implementation — fused forward in both training and
+inference, exact XLA backward.
 
 Parameter dict layout (all float32):
   ln_scale, ln_bias              (C,)
@@ -41,28 +48,33 @@ PARAM_KEYS = (
 
 def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                 eps: float = 1e-5) -> jnp.ndarray:
-    mean = x.mean(axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    """LN with f32 statistics, output in x.dtype."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * scale.astype(
+        jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _block_math(x: jnp.ndarray, p: Dict[str, jnp.ndarray], num_heads: int,
                 kernel: bool = False) -> jnp.ndarray:
     """The full block on (T, C) or (B, T, C); shared by both backends.
 
-    ``kernel=True`` switches to Pallas-lowerable primitives (poly-erf GELU)
-    and skips the precision context (MXU f32 passes are set by Mosaic).
+    ``kernel=True`` switches to Pallas-lowerable primitives (poly-erf GELU).
     """
-    dt = jnp.float32
-    x = x.astype(dt)
     gelu_fn = (
         gelu_exact if kernel
         else (lambda a: jax.nn.gelu(a, approximate=False))
     )
-    # full-mantissa matmuls (multi-pass f32 on the MXU) in both backends so
-    # the fused kernel is numerically interchangeable with the XLA path
+    if x.dtype == jnp.bfloat16:
+        # production path: bf16 matmuls, f32 accumulation inside the MXU
+        return _block_body(x, p, num_heads, jnp.bfloat16, gelu_fn)
+    # f32 path: full-mantissa matmuls (multi-pass on the MXU) in both
+    # backends so the fused kernel is interchangeable with the XLA path
     with jax.default_matmul_precision("highest"):
-        return _block_body(x, p, num_heads, dt, gelu_fn)
+        return _block_body(x.astype(jnp.float32), p, num_heads,
+                           jnp.float32, gelu_fn)
 
 
 def _block_body(x: jnp.ndarray, p: Dict[str, jnp.ndarray], num_heads: int,
@@ -70,29 +82,37 @@ def _block_body(x: jnp.ndarray, p: Dict[str, jnp.ndarray], num_heads: int,
     T, C = x.shape[-2], x.shape[-1]
     dh = C // num_heads
 
-    xn = _layer_norm(x, p["ln_scale"].astype(dt), p["ln_bias"].astype(dt))
-    qkv = xn @ p["qkv_w"].astype(dt) + p["qkv_b"].astype(dt)  # (..., T, 3C)
+    def mm(a, w, b):
+        out = jnp.dot(a, w.astype(dt), preferred_element_type=jnp.float32)
+        return (out + b.astype(jnp.float32)).astype(dt)
+
+    xn = _layer_norm(x, p["ln_scale"], p["ln_bias"])
+    qkv = mm(xn, p["qkv_w"], p["qkv_b"])  # (..., T, 3C)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     # Per-head attention via static lane slices (Mosaic cannot reshape the
-    # lane dim into heads); 4 small matmul chains, concatenated on lanes.
-    inv_sqrt_dh = 1.0 / jnp.sqrt(jnp.asarray(dh, dt))
+    # lane dim into heads); small matmul chains, concatenated on lanes.
+    inv_sqrt_dh = 1.0 / float(dh) ** 0.5
     parts = []
     for h in range(num_heads):
         sl = slice(h * dh, (h + 1) * dh)
         qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]
-        scores = jnp.einsum("...td,...sd->...ts", qh, kh,
-                            preferred_element_type=dt) * inv_sqrt_dh
-        attn = jax.nn.softmax(scores, axis=-1)
-        parts.append(jnp.einsum("...ts,...sd->...td", attn, vh,
-                                preferred_element_type=dt))
+        scores = jnp.einsum(
+            "...td,...sd->...ts", qh, kh,
+            preferred_element_type=jnp.float32,
+        ) * inv_sqrt_dh
+        attn = jax.nn.softmax(scores, axis=-1).astype(dt)  # f32 softmax
+        parts.append(jnp.einsum(
+            "...ts,...sd->...td", attn, vh,
+            preferred_element_type=jnp.float32,
+        ).astype(dt))
     ctx = jnp.concatenate(parts, axis=-1)
-    attn_out = ctx @ p["out_w"].astype(dt) + p["out_b"].astype(dt)
+    attn_out = mm(ctx, p["out_w"], p["out_b"])
 
     h = attn_out + xn  # reference quirk: residual uses the normed tensor
-    hn = _layer_norm(h, p["ff_ln_scale"].astype(dt), p["ff_ln_bias"].astype(dt))
-    ff = gelu_fn(hn @ p["ff1_w"].astype(dt) + p["ff1_b"].astype(dt))
-    ff = ff @ p["ff2_w"].astype(dt) + p["ff2_b"].astype(dt)
+    hn = _layer_norm(h, p["ff_ln_scale"], p["ff_ln_bias"])
+    ff = gelu_fn(mm(hn, p["ff1_w"], p["ff1_b"]).astype(jnp.float32))
+    ff = mm(ff.astype(dt), p["ff2_w"], p["ff2_b"])
     return ff + h
 
 
@@ -111,7 +131,7 @@ def _attn_kernel(x_ref, *refs, num_heads: int):
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads",))
-def attention_block_pallas(
+def _attention_pallas_raw(
     x: jnp.ndarray, params: Dict[str, jnp.ndarray], num_heads: int = 4
 ) -> jnp.ndarray:
     """Pallas fused block: grid over batch, whole (T, C) row + params in VMEM."""
@@ -132,6 +152,30 @@ def attention_block_pallas(
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def attention_block_pallas(
+    x: jnp.ndarray, params: Dict[str, jnp.ndarray], num_heads: int = 4
+) -> jnp.ndarray:
+    """Fused forward with an XLA-reference backward (Pallas has no
+    automatic transpose)."""
+    return _attention_pallas_raw(x, params, num_heads)
+
+
+def _attn_fwd(x, params, num_heads):
+    return _attention_pallas_raw(x, params, num_heads), (x, params)
+
+
+def _attn_bwd(num_heads, res, ct):
+    x, params = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: attention_block_reference(x_, p_, num_heads), x, params
+    )
+    return vjp(ct)
+
+
+attention_block_pallas.defvjp(_attn_fwd, _attn_bwd)
+
+
 def attention_block(
     x: jnp.ndarray,
     params: Dict[str, jnp.ndarray],
@@ -142,5 +186,5 @@ def attention_block(
     if use_pallas is None:
         use_pallas = pallas_supported()
     if use_pallas:
-        return attention_block_pallas(x, params, num_heads=num_heads)
+        return attention_block_pallas(x, params, num_heads)
     return attention_block_reference(x, params, num_heads=num_heads)

@@ -87,7 +87,7 @@ def _gn_kernel(x_ref, w_ref, b_ref, o_ref, *, num_groups: int, eps: float,
 @functools.partial(
     jax.jit, static_argnames=("num_groups", "eps", "apply_gelu")
 )
-def group_norm_pallas(
+def _group_norm_pallas_raw(
     x: jnp.ndarray,
     weight: jnp.ndarray,
     bias: jnp.ndarray,
@@ -116,6 +116,40 @@ def group_norm_pallas(
         out_specs=pl.BlockSpec((1, H * W, C), lambda i: (i, 0, 0)),
     )(xf, weight, bias)
     return out.reshape(B, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def group_norm_pallas(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-5,
+    apply_gelu: bool = False,
+) -> jnp.ndarray:
+    """Fused Pallas forward with an XLA-reference backward (Pallas has no
+    automatic transpose, so training differentiates the reference math)."""
+    return _group_norm_pallas_raw(x, weight, bias, num_groups, eps,
+                                  apply_gelu)
+
+
+def _gn_fwd(x, weight, bias, num_groups, eps, apply_gelu):
+    out = _group_norm_pallas_raw(x, weight, bias, num_groups, eps, apply_gelu)
+    return out, (x, weight, bias)
+
+
+def _gn_bwd(num_groups, eps, apply_gelu, res, ct):
+    x, weight, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, w_, b_: group_norm_reference(
+            x_, w_, b_, num_groups, eps=eps, apply_gelu=apply_gelu
+        ),
+        x, weight, bias,
+    )
+    return vjp(ct)
+
+
+group_norm_pallas.defvjp(_gn_fwd, _gn_bwd)
 
 
 # The single-pass kernel keeps one (HW, C) row in VMEM with ~8-10× f32

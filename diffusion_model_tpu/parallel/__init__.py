@@ -3,6 +3,7 @@ from .mesh import (
     initialize_distributed,
     make_dp_tp_mesh,
     make_mesh,
+    mesh_for_batch,
     param_shardings,
     replicate,
     replicated,
@@ -11,6 +12,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "mesh_for_batch",
     "batch_sharding",
     "initialize_distributed",
     "make_dp_tp_mesh",

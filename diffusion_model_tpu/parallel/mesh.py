@@ -51,6 +51,19 @@ def make_mesh(
     return Mesh(dev_array, tuple(axes))
 
 
+def mesh_for_batch(batch_size: int,
+                   devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data mesh over the largest device subset dividing ``batch_size``.
+
+    Keeps the static shapes constraint (every shard equal) without forcing
+    callers to round their batch size to the chip count."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n:
+        n -= 1
+    return make_mesh(("data",), (n,), devices[:n])
+
+
 def make_dp_tp_mesh(tp: int = 1,
                     devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """2-D (data, model) mesh with ``tp`` chips of tensor parallelism."""

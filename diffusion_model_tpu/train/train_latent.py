@@ -29,7 +29,7 @@ from ..data import LabelDataset, PrefetchLoader
 from ..data.synthetic import generate_all_classes
 from ..diffusion import DiffusionSchedule, q_sample
 from ..models import VAE, VAEConfig, CondUNet, UNetConfig
-from ..parallel import make_mesh, shard_batch
+from ..parallel import mesh_for_batch, shard_batch
 from .checkpoints import load_params, save_params
 from .losses import masked_geom_mse
 from .recorder import MetricsLogger, record_result
@@ -179,7 +179,7 @@ def train_latent_cond(cfg: LatentTrainConfig,
     loaded from ``cfg.vae_ckpt``. Returns a summary dict."""
     import os
 
-    mesh = make_mesh(("data",))
+    mesh = mesh_for_batch(cfg.batch_size)
     vae, unet = build_models(cfg)
     schedule = DiffusionSchedule.create(cfg.num_timesteps)
 
@@ -211,10 +211,29 @@ def train_latent_cond(cfg: LatentTrainConfig,
     rolling_path = os.path.join(cfg.model_para_dir, "trained_para.msgpack")
     metrics = MetricsLogger(os.path.join(cfg.model_para_dir, "metrics.jsonl"))
 
+    # optional Orbax resume (full state; the reference cannot resume at all)
+    manager = None
+    start_epoch = 1
+    if cfg.resume_dir:
+        from .checkpoints import CheckpointManager
+
+        manager = CheckpointManager(cfg.resume_dir, max_to_keep=2)
+        restored = manager.restore({"state": jax.device_get(state),
+                                    "epoch": 0})
+        if restored is not None:
+            state = jax.device_put(restored["state"])
+            start_epoch = int(restored["epoch"]) + 1
+            print(f"Resumed from {cfg.resume_dir} at epoch {start_epoch}")
+
+    from ..utils.profiling import StepTimer, trace
+
+    timer = StepTimer()
     train_losses, val_losses = [], []
     best_batch_loss = float("inf")  # global, not per-epoch (bug fix)
     start = time.time()
-    for epoch in range(1, cfg.epochs + 1):
+    profile_ctx = trace(cfg.profile_dir)
+    profile_ctx.__enter__()
+    for epoch in range(start_epoch, cfg.epochs + 1):
         tot, cnt = 0.0, 0
         for batch in train_loader:
             rng, sk = jax.random.split(rng)
@@ -222,6 +241,7 @@ def train_latent_cond(cfg: LatentTrainConfig,
             loss = float(m["loss"])
             tot += loss
             cnt += 1
+            timer.tick(batch["image"].shape[0])
             if loss < best_batch_loss:
                 best_batch_loss = loss
                 save_params(rolling_path, state.params)
@@ -242,9 +262,19 @@ def train_latent_cond(cfg: LatentTrainConfig,
         else:
             val_losses.append(float("nan"))
             print(f"[Epoch {epoch:03d}] train={train_loss:.6f}  val=skip")
+        perf = timer.summary()
         metrics.log(kind="epoch", epoch=epoch, train_loss=train_loss,
-                    val_loss=val_losses[-1], elapsed_s=time.time() - start)
+                    val_loss=val_losses[-1],
+                    steps_per_sec=round(perf["steps_per_sec"], 3),
+                    images_per_sec=round(perf["items_per_sec"], 2),
+                    elapsed_s=time.time() - start)
+        if manager is not None:
+            manager.save(epoch, {"state": jax.device_get(state),
+                                 "epoch": epoch}, force=True)
 
+    profile_ctx.__exit__(None, None, None)
+    if manager is not None:
+        manager.wait()
     learning_time = time.time() - start
 
     # post-training sample (train_latent_cond.py:227-244): 100 class-1 images

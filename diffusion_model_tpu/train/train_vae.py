@@ -26,7 +26,7 @@ from ..config import VAETrainConfig
 from ..data import CaptionDataset, LabelDataset, PrefetchLoader
 from ..data.synthetic import generate_all_classes
 from ..models import VAE, VAEConfig
-from ..parallel import make_mesh, shard_batch
+from ..parallel import mesh_for_batch, shard_batch
 from .checkpoints import save_params
 from .early_stopping import EarlyStopping
 from .recorder import MetricsLogger, save_train_val_loss_csv, save_train_val_loss_graph
@@ -121,7 +121,7 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
 
     from ..utils.env import timestamp_dir_name
 
-    mesh = make_mesh(("data",))
+    mesh = mesh_for_batch(cfg.batch_size)
     train_ds, val_ds = _resolve_datasets(cfg)
     put = functools.partial(shard_batch, mesh=mesh)
     train_loader = PrefetchLoader(
@@ -149,10 +149,32 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
     )
     metrics = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
 
+    # optional Orbax resume (params + opt state + step; reference can only
+    # save bare weights — SURVEY.md §5)
+    manager = None
+    start_epoch = 1
+    if cfg.resume_dir:
+        from .checkpoints import CheckpointManager
+
+        manager = CheckpointManager(cfg.resume_dir, max_to_keep=2)
+        restored = manager.restore({"state": jax.device_get(state),
+                                    "epoch": 0})
+        if restored is not None:
+            # static fields (apply_fn, tx) come from the target structure;
+            # arrays come from the checkpoint
+            state = current["state"] = jax.device_put(restored["state"])
+            start_epoch = int(restored["epoch"]) + 1
+            print(f"Resumed from {cfg.resume_dir} at epoch {start_epoch}")
+
+    from ..utils.profiling import StepTimer, trace
+
+    timer = StepTimer()
     history = {"train": [], "val": []}
     start = time.time()
     step_count = 0
-    for epoch in range(1, cfg.epochs + 1):
+    profile_ctx = trace(cfg.profile_dir)
+    profile_ctx.__enter__()
+    for epoch in range(start_epoch, cfg.epochs + 1):
         tot, cnt = 0.0, 0
         for batch in train_loader:
             rng, sk = jax.random.split(rng)
@@ -161,6 +183,7 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
             tot += float(m["loss"])
             cnt += 1
             step_count += 1
+            timer.tick(batch["image"].shape[0])
         train_loss = tot / max(cnt, 1)
 
         vt, vc = 0.0, 0
@@ -173,17 +196,26 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
 
         history["train"].append(train_loss)
         history["val"].append(val_loss)
+        perf = timer.summary()
         metrics.log(kind="epoch", epoch=epoch, train_loss=train_loss,
                     val_loss=val_loss, steps=step_count,
+                    steps_per_sec=round(perf["steps_per_sec"], 3),
+                    images_per_sec=round(perf["items_per_sec"], 2),
                     elapsed_s=time.time() - start)
         print(f"[Epoch {epoch:03d}] train={train_loss:.6f}  "
               f"val={val_loss:.6f}")
+        if manager is not None:
+            manager.save(epoch, {"state": jax.device_get(current["state"]),
+                                 "epoch": epoch}, force=True)
 
         stopper(val_loss)
         if stopper.early_stop:
             print(">>> Early stopping triggered.")
             break
 
+    profile_ctx.__exit__(None, None, None)
+    if manager is not None:
+        manager.wait()
     elapsed = time.time() - start
     print(f"Training finished in {elapsed / 60:.1f} min")
     save_train_val_loss_graph(out_dir, history["train"], history["val"])
