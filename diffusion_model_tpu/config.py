@@ -30,6 +30,7 @@ class DataConfig:
     synthetic_val_count: int = 64
     image_size: Tuple[int, int] = (224, 224)
     drawing_size: Tuple[float, float] = (400.0, 400.0)
+    cache_images: bool = True  # decode each image once (uint8 in RAM)
 
 
 @dataclasses.dataclass

@@ -54,8 +54,14 @@ class LabelDataset:
         image_size: Tuple[int, int] = (224, 224),
         drawing_size: Tuple[float, float] = (400.0, 400.0),
         zero_pad: int = 5,
+        cache_images: bool = False,
     ):
+        """``cache_images=True`` decodes every image once into a uint8 array
+        (~150 KB per 224² image) so epochs beyond the first never touch the
+        JPEG decoder — on TPU the jitted step outruns host-side PIL decode."""
         self.image_size = tuple(image_size)
+        self.cache_images = cache_images
+        self._cache: dict = {}
         self.items: List[Tuple[str, np.ndarray, np.ndarray, int]] = []
 
         for csv_path, image_dir, class_id in dataset_path:
@@ -83,10 +89,21 @@ class LabelDataset:
     def __len__(self) -> int:
         return len(self.items)
 
+    def _image(self, idx: int) -> np.ndarray:
+        path = self.items[idx][0]
+        if self.cache_images:
+            u8 = self._cache.get(idx)
+            if u8 is None:
+                u8 = (load_image(path, self.image_size) * 255.0).astype(
+                    np.uint8
+                )
+                self._cache[idx] = u8
+            return u8.astype(np.float32) / 255.0
+        return load_image(path, self.image_size)
+
     def __getitem__(self, idx: int):
-        path, vals, mask, class_id = self.items[idx]
-        image = load_image(path, self.image_size)
-        return image, vals, mask, class_id
+        _, vals, mask, class_id = self.items[idx]
+        return self._image(idx), vals, mask, class_id
 
     def batch(self, indices: Sequence[int]) -> dict:
         """Gather a batch as a dict of stacked NumPy arrays (NHWC images)."""
@@ -95,8 +112,8 @@ class LabelDataset:
         mask = np.empty((len(indices), GEOM_DIM), dtype=np.float32)
         ys = np.empty((len(indices),), dtype=np.int32)
         for j, idx in enumerate(indices):
-            path, v, m, c = self.items[idx]
-            imgs[j] = load_image(path, self.image_size)
+            _, v, m, c = self.items[idx]
+            imgs[j] = self._image(idx)
             vals[j], mask[j], ys[j] = v, m, c
         return {"image": imgs, "vals": vals, "mask": mask, "y": ys}
 

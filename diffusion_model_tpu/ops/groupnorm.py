@@ -34,17 +34,20 @@ def group_norm_reference(
     eps: float = 1e-5,
     apply_gelu: bool = False,
 ) -> jnp.ndarray:
-    """NHWC GroupNorm via jnp (XLA fuses the chain)."""
+    """NHWC GroupNorm via jnp (XLA fuses the chain).
+
+    Statistics in f32; output in x.dtype (same contract as the Pallas
+    kernel, so the two are interchangeable under autodiff)."""
     B, H, W, C = x.shape
     G = num_groups
-    xg = x.reshape(B, H * W, G, C // G)
+    xg = x.astype(jnp.float32).reshape(B, H * W, G, C // G)
     mean = xg.mean(axis=(1, 3), keepdims=True)
     var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
     xn = (xg - mean) * jax.lax.rsqrt(var + eps)
     out = xn.reshape(B, H, W, C) * weight + bias
     if apply_gelu:
         out = jax.nn.gelu(out, approximate=False)
-    return out
+    return out.astype(x.dtype)
 
 
 def _gn_kernel(x_ref, w_ref, b_ref, o_ref, *, num_groups: int, eps: float,

@@ -132,6 +132,24 @@ def save_images(dir_path: str, images: Iterable) -> None:
         image.save(os.path.join(dir_path, f"pic{i + 1}.png"))
 
 
+def concat_images(dir_path: str, images, rows: int = 2,
+                  cols: int = 10) -> str:
+    """Tile the first rows×cols images into one gray-background figure
+    ``catpic1_{rows*cols}.png`` (utils.py:227-240). Returns the path."""
+    import matplotlib.pyplot as plt
+
+    os.makedirs(dir_path, exist_ok=True)
+    path = os.path.join(dir_path, f"catpic1_{rows * cols}.png")
+    fig = plt.figure(figsize=(cols, rows), facecolor="gray")
+    for i in range(min(rows * cols, len(images))):
+        ax = fig.add_subplot(rows, cols, i + 1)
+        ax.imshow(images[i])
+        ax.axis("off")
+    plt.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def record_result(
     result_root: str = "result",
     model_params=None,

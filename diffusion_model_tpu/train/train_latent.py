@@ -169,6 +169,7 @@ def _resolve_datasets(cfg: LatentTrainConfig):
     mk = functools.partial(
         LabelDataset, image_size=data.image_size,
         drawing_size=data.drawing_size,
+        cache_images=data.cache_images,
     )
     return mk(train_items), mk(val_items)
 

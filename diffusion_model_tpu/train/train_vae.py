@@ -108,7 +108,8 @@ def _resolve_datasets(cfg: VAETrainConfig):
         # VAE only needs images, so LabelDataset covers both layouts here.
         try:
             return LabelDataset(items, image_size=data.image_size,
-                                drawing_size=data.drawing_size)
+                                drawing_size=data.drawing_size,
+                                cache_images=data.cache_images)
         except Exception:
             return CaptionDataset(items, image_size=data.image_size)
 
