@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drawing canvas; pass -1 -1 to infer per CSV")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no_bf16", action="store_true")
+    ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
+                    help="ddim = strided fast sampler (beyond-reference)")
+    ap.add_argument("--num_inference_steps", type=int, default=50,
+                    help="model evaluations when --sampler ddim")
+    ap.add_argument("--eta", type=float, default=0.0,
+                    help="DDIM stochasticity (0 = deterministic)")
     return ap
 
 
@@ -98,6 +104,9 @@ def main(argv=None) -> None:
             guidance_scale=args.guidance_scale,
             key=jax.random.fold_in(key, cls),
             batch_size=args.batch_size,
+            method=args.sampler,
+            num_inference_steps=args.num_inference_steps,
+            eta=args.eta,
         )
         dt = time.time() - tic
         save_images(cls_dir, images)

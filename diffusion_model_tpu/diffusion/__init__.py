@@ -2,8 +2,11 @@ from .schedule import DiffusionSchedule
 from .sampling import (
     q_sample,
     ddpm_posterior_step,
+    ddim_step,
+    ddim_timesteps,
     cfg_eps,
     sample_loop,
+    sample_loop_ddim,
     sample_loop_with_snapshots,
 )
 
@@ -11,7 +14,10 @@ __all__ = [
     "DiffusionSchedule",
     "q_sample",
     "ddpm_posterior_step",
+    "ddim_step",
+    "ddim_timesteps",
     "cfg_eps",
     "sample_loop",
+    "sample_loop_ddim",
     "sample_loop_with_snapshots",
 ]

@@ -29,7 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data import geometry as G
-from .diffusion import DiffusionSchedule, sample_loop, sample_loop_with_snapshots
+from .diffusion import (
+    DiffusionSchedule,
+    sample_loop,
+    sample_loop_ddim,
+    sample_loop_with_snapshots,
+)
 from .models import VAE, CondUNet
 from .parallel import make_mesh, shard_batch
 from .train.checkpoints import load_params
@@ -125,9 +130,12 @@ class DiffusionPipeline:
             return out[0] if isinstance(out, tuple) else out
         return eps
 
-    def _sampler(self, guidance_scale: float, decode: bool, snapshots: bool):
+    def _sampler(self, guidance_scale: float, decode: bool, snapshots: bool,
+                 method: str = "ddpm", num_inference_steps: int = 0,
+                 eta: float = 0.0):
         """Build (and cache) the jitted scan+decode program."""
-        key_ = (float(guidance_scale), decode, snapshots)
+        key_ = (float(guidance_scale), decode, snapshots, method,
+                int(num_inference_steps), float(eta))
         if key_ in self._compiled:
             return self._compiled[key_]
 
@@ -140,6 +148,14 @@ class DiffusionPipeline:
                     cond_vals=vals, cond_mask=mask,
                     guidance_scale=guidance_scale,
                 )
+            elif method == "ddim":
+                zf = sample_loop_ddim(
+                    self.schedule, eps, x_init, key,
+                    num_inference_steps=num_inference_steps or 50, eta=eta,
+                    y=y, cond_vals=vals, cond_mask=mask,
+                    guidance_scale=guidance_scale,
+                )
+                snaps = None
             else:
                 zf = sample_loop(
                     self.schedule, eps, x_init, key, y=y, cond_vals=vals,
@@ -179,11 +195,17 @@ class DiffusionPipeline:
         decode: bool = True,
         image_hw: Tuple[int, int] = (224, 224),
         batch_size: int = 0,
+        method: str = "ddpm",
+        num_inference_steps: int = 0,
+        eta: float = 0.0,
     ):
         """Conditional latent generation (diff.py:174-369 parity).
 
         ``batch_size`` > 0 splits the request into fixed-size scan launches
         (one compilation, reused); 0 runs everything in one scan.
+        ``method="ddim"`` switches to the strided DDIM sampler with
+        ``num_inference_steps`` model evaluations (default 50) — a
+        beyond-reference fast path.
         Returns PIL images (default), float images (``to_pil=False``) or raw
         latents (``decode=False``).
         """
@@ -196,7 +218,9 @@ class DiffusionPipeline:
         y_np = np.asarray(y_list, dtype=np.int32)
 
         key = key if key is not None else jax.random.PRNGKey(0)
-        run = self._sampler(guidance_scale, decode, snapshots=False)
+        run = self._sampler(guidance_scale, decode, snapshots=False,
+                            method=method,
+                            num_inference_steps=num_inference_steps, eta=eta)
 
         chunks = []
         step = batch_size if batch_size > 0 else B
@@ -360,11 +384,15 @@ class CsvConditionSampler:
         key: Optional[jax.Array] = None,
         to_pil: bool = True,
         batch_size: int = 0,
+        method: str = "ddpm",
+        num_inference_steps: int = 0,
+        eta: float = 0.0,
     ):
         vals, mask = self.load_cond(csv_path, count, start)
         return self.pipeline.sample_latent_cond(
             class_counts=(self.class_id, len(vals)),
             cond=vals, cond_mask=mask, guidance_scale=guidance_scale,
             key=key, to_pil=to_pil, image_hw=self.image_hw,
-            batch_size=batch_size,
+            batch_size=batch_size, method=method,
+            num_inference_steps=num_inference_steps, eta=eta,
         )

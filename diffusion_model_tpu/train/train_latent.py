@@ -236,6 +236,7 @@ def train_latent_cond(cfg: LatentTrainConfig,
     profile_ctx.__enter__()
     for epoch in range(start_epoch, cfg.epochs + 1):
         tot, cnt = 0.0, 0
+        improved = False
         for batch in train_loader:
             rng, sk = jax.random.split(rng)
             state, m = train_step(state, vae_params, batch, sk)
@@ -245,7 +246,12 @@ def train_latent_cond(cfg: LatentTrainConfig,
             timer.tick(batch["image"].shape[0])
             if loss < best_batch_loss:
                 best_batch_loss = loss
-                save_params(rolling_path, state.params)
+                improved = True
+        # rolling best checkpoint, written at most once per epoch (the
+        # reference writes ~100 MB per improving batch,
+        # train_latent_cond.py:168-170 — host I/O would stall the device)
+        if improved:
+            save_params(rolling_path, state.params)
         train_loss = tot / max(cnt, 1)
         train_losses.append(train_loss)
 
