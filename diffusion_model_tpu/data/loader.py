@@ -39,14 +39,32 @@ class PrefetchLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         device_put_fn: Optional[Callable[[dict], dict]] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
+        """Multi-host: each process loads its 1/process_count slice of every
+        batch (host-count-aware sharding, SURVEY.md §7 step 6). Defaults to
+        ``jax.process_index()/jax.process_count()``; ``batch_size`` is the
+        GLOBAL batch size."""
         self.dataset = dataset
-        self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.prefetch = max(1, int(prefetch))
         self.device_put_fn = device_put_fn or (lambda b: jax.device_put(b))
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by process count "
+                f"{self.process_count}"
+            )
+        self.batch_size = int(batch_size)
+        self._local_batch = self.batch_size // self.process_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -71,6 +89,9 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[dict]:
         idx = self._epoch_indices()
         batches = idx.reshape(-1, self.batch_size)
+        # every process takes its contiguous slice of each global batch
+        lo = self.process_index * self._local_batch
+        batches = batches[:, lo:lo + self._local_batch]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
