@@ -1,0 +1,118 @@
+"""On-device Euclidean distance transform via jump flooding (JFA).
+
+SURVEY.md §2's native-surface table calls for "optionally a JAX
+jump-flooding EDT for on-device eval": this lets the generation-quality
+metrics (far-noise ratio, gaussian-weighted recall — eval/metrics.py) run
+inside a jitted program on TPU, e.g. for training-time quality monitoring
+without a host round-trip. The authoritative host-side evaluator remains
+the exact native C++ EDT (native/edt.cpp).
+
+JFA propagates nearest-seed coordinates in O(log max(H,W)) passes with
+static power-of-two offsets — everything is elementwise mins over shifted
+arrays, which XLA fuses into a handful of VPU loops. JFA+1 (an extra
+final 1-step pass) makes errors vanishingly rare; tests bound the deviation
+from the exact EDT.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e9
+
+
+def _shift2d(a: jnp.ndarray, dy: int, dx: int, fill: float) -> jnp.ndarray:
+    """Shift a 2-D array by (dy, dx) with ``fill`` at the borders (static)."""
+    H, W = a.shape
+    out = a
+    if dy:
+        pad = jnp.full((abs(dy), W), fill, a.dtype)
+        out = (
+            jnp.concatenate([pad, out[:-dy]], axis=0) if dy > 0
+            else jnp.concatenate([out[-dy:], pad], axis=0)
+        )
+    if dx:
+        pad = jnp.full((H, abs(dx)), fill, a.dtype)
+        out = (
+            jnp.concatenate([pad, out[:, :-dx]], axis=1) if dx > 0
+            else jnp.concatenate([out[:, -dx:], pad], axis=1)
+        )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=())
+def edt_jax(mask: jnp.ndarray) -> jnp.ndarray:
+    """Distance of every pixel to the nearest True pixel of a 2-D bool mask
+    (True → 0). Empty mask → a large sentinel (~1e9) everywhere."""
+    H, W = mask.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    m = mask.astype(bool)
+    sy = jnp.where(m, ys, _BIG)
+    sx = jnp.where(m, xs, _BIG)
+
+    def passes(sy, sx, steps):
+        for k in steps:
+            best = (sy - ys) ** 2 + (sx - xs) ** 2
+            for dy in (-k, 0, k):
+                for dx in (-k, 0, k):
+                    if dy == 0 and dx == 0:
+                        continue
+                    cy = _shift2d(sy, dy, dx, _BIG)
+                    cx = _shift2d(sx, dy, dx, _BIG)
+                    d = (cy - ys) ** 2 + (cx - xs) ** 2
+                    take = d < best
+                    best = jnp.where(take, d, best)
+                    sy = jnp.where(take, cy, sy)
+                    sx = jnp.where(take, cx, sx)
+        return sy, sx
+
+    # power-of-two offsets down to 1, then a JFA+1 refinement pass
+    k = 1
+    while k * 2 < max(H, W):
+        k *= 2
+    steps = []
+    while k >= 1:
+        steps.append(k)
+        k //= 2
+    sy, sx = passes(sy, sx, steps + [1])
+
+    d2 = (sy - ys) ** 2 + (sx - xs) ** 2
+    return jnp.sqrt(jnp.minimum(d2, _BIG))
+
+
+def pair_metrics_jax(
+    gt: jnp.ndarray, pred: jnp.ndarray, sigma: float = 2.0
+) -> dict:
+    """Jit-friendly per-pair metrics (same conventions as eval/metrics.py);
+    masks are 2-D bool. Returns a dict of f32 scalars."""
+    gt = gt.astype(bool)
+    pred = pred.astype(bool)
+    inter = jnp.sum(jnp.logical_and(gt, pred)).astype(jnp.float32)
+    union = jnp.sum(jnp.logical_or(gt, pred)).astype(jnp.float32)
+    gt_area = jnp.sum(gt).astype(jnp.float32)
+    pred_area = jnp.sum(pred).astype(jnp.float32)
+
+    dist = edt_jax(gt)
+    predf = pred.astype(jnp.float32)
+    far_noise = jnp.sum(predf * (dist > sigma)).astype(jnp.float32)
+    gauss_sum = jnp.sum(predf * jnp.exp(-(dist ** 2) / (2.0 * sigma ** 2)))
+
+    iou = jnp.where(union > 0, inter / union, 1.0)
+    gt_iou = jnp.where(gt_area > 0, inter / gt_area, 1.0)
+    fnr = jnp.where(pred_area > 0, far_noise / pred_area, 0.0)
+    gr = jnp.where(gt_area > 0, gauss_sum / gt_area, 1.0)
+    return {
+        "iou": iou, "gt_iou": gt_iou, "far_noise_ratio": fnr,
+        "gauss_recall": gr, "inter": inter, "union": union,
+        "gt_area": gt_area, "pred_area": pred_area,
+    }
+
+
+def batch_pair_metrics_jax(gt: jnp.ndarray, pred: jnp.ndarray,
+                           sigma: float = 2.0) -> dict:
+    """vmapped metrics over (B, H, W) mask batches."""
+    return jax.vmap(lambda g, p: pair_metrics_jax(g, p, sigma))(gt, pred)
