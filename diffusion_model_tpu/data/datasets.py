@@ -117,6 +117,25 @@ class LabelDataset:
             vals[j], mask[j], ys[j] = v, m, c
         return {"image": imgs, "vals": vals, "mask": mask, "y": ys}
 
+    def materialize(self) -> dict:
+        """Decode the whole dataset into contiguous arrays for
+        device-resident training: images stay uint8 ((N,H,W,3), 150 KB per
+        224² image — 10k images ≈ 1.5 GB, comfortably HBM-resident), the
+        per-step float conversion happens inside the jitted step. Steps then
+        receive only int32 indices — no per-step host→device image transfer
+        at all (the TPU-native data path; also sidesteps the axon tunnel's
+        per-transfer overhead)."""
+        n = len(self.items)
+        h, w = self.image_size[1], self.image_size[0]
+        imgs = np.empty((n, h, w, 3), dtype=np.uint8)
+        vals = np.empty((n, GEOM_DIM), dtype=np.float32)
+        mask = np.empty((n, GEOM_DIM), dtype=np.float32)
+        ys = np.empty((n,), dtype=np.int32)
+        for i, (_, v, m, c) in enumerate(self.items):
+            imgs[i] = (self._image(i) * 255.0).astype(np.uint8)
+            vals[i], mask[i], ys[i] = v, m, c
+        return {"image_u8": imgs, "vals": vals, "mask": mask, "y": ys}
+
 
 class CaptionDataset:
     """Caption-CSV image dataset (reference ``ClipDataset``,

@@ -1,0 +1,82 @@
+"""Device-resident dataset placement + epoch index batching.
+
+The TPU-native data path for datasets that fit in HBM: the whole uint8
+image tensor (plus conditions) is ``device_put`` once, and every train step
+receives only a (B,) int32 index vector — the batch gather and uint8→float
+conversion happen inside the jitted program. This removes ALL per-step
+host→device image traffic (the reference re-uploads every batch,
+train_latent_cond.py:115-118; and the axon tunnel makes per-step transfers
+particularly expensive). Datasets beyond ``max_bytes`` fall back to the
+streaming PrefetchLoader.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..parallel import batch_sharding, replicate
+
+# ~12 GB of HBM on a v5e chip after weights/activations; stay conservative.
+DEFAULT_MAX_BYTES = 6 * 1024**3
+
+
+def estimate_bytes(dataset) -> int:
+    w, h = dataset.image_size
+    return len(dataset) * h * w * 3
+
+
+def maybe_device_resident(dataset, mesh, max_bytes: int = DEFAULT_MAX_BYTES):
+    """materialize + replicate the dataset onto the mesh, or None if too big
+    (or the dataset cannot materialize)."""
+    if not hasattr(dataset, "materialize"):
+        return None
+    if estimate_bytes(dataset) > max_bytes:
+        return None
+    return replicate(dataset.materialize(), mesh)
+
+
+def epoch_index_batches(
+    n: int,
+    batch_size: int,
+    rng: np.random.Generator,
+    shuffle: bool = True,
+) -> Iterator[np.ndarray]:
+    """Index batches covering [0, n), wrap-padded to a static batch size."""
+    idx = np.arange(n)
+    if shuffle:
+        rng.shuffle(idx)
+    pad = (-n) % batch_size
+    if pad:
+        idx = np.concatenate([idx, idx[:pad]])
+    for b in idx.reshape(-1, batch_size):
+        yield b
+
+
+def put_indices(b: np.ndarray, mesh) -> jax.Array:
+    """Ship an index batch sharded over the mesh's data axis (the gathered
+    batch inherits the sharding → DP compute)."""
+    return jax.device_put(np.asarray(b, np.int32), batch_sharding(mesh))
+
+
+def epoch_index_matrix(
+    n: int,
+    batch_size: int,
+    rng: np.random.Generator,
+    shuffle: bool = True,
+) -> np.ndarray:
+    """All of an epoch's index batches as one (S, B) int32 matrix, for the
+    epoch-fused lax.scan train functions."""
+    return np.stack(
+        list(epoch_index_batches(n, batch_size, rng, shuffle))
+    ).astype(np.int32)
+
+
+def put_index_matrix(mat: np.ndarray, mesh) -> jax.Array:
+    """(S, B) index matrix with the batch axis sharded over 'data'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(
+        np.asarray(mat, np.int32), NamedSharding(mesh, P(None, "data"))
+    )

@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.training import train_state
 
@@ -119,6 +120,183 @@ def make_latent_train_step(
     return step
 
 
+def make_latent_train_step_indexed(
+    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
+    cfg_drop_prob: float, geom_lambda: float,
+):
+    """Device-resident data path: gathers (image, vals, mask, y) from
+    HBM-resident arrays by int32 indices inside the jitted step."""
+    T = schedule.num_timesteps
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: train_state.TrainState, vae_params, data, idx, key):
+        k_vae, k_t, k_noise, k_drop = jax.random.split(key, 4)
+        images = jnp.take(data["image_u8"], idx, axis=0).astype(
+            jnp.float32) / 255.0
+        vals_b = jnp.take(data["vals"], idx, axis=0)
+        mask_b = jnp.take(data["mask"], idx, axis=0)
+        y_b = jnp.take(data["y"], idx, axis=0)
+
+        z, _ = vae.apply(
+            {"params": vae_params}, images, method=VAE.encode,
+            rngs={"sample": k_vae},
+        )
+        B = z.shape[0]
+        t = jax.random.randint(k_t, (B,), 1, T + 1)
+        noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
+        z_noisy = q_sample(schedule, z, t, noise)
+
+        drop = jax.random.uniform(k_drop, (B,)) < cfg_drop_prob
+        y_used = jnp.where(drop, 0, y_b).astype(jnp.int32)
+        keep = (~drop).astype(jnp.float32)[:, None]
+        vals_used = vals_b * keep
+        mask_used = mask_b * keep
+
+        def loss_fn(params):
+            eps_pred, geom_pred = unet.apply(
+                {"params": params}, z_noisy, t, y_used, vals_used, mask_used
+            )
+            loss_noise = jnp.mean(jnp.square(eps_pred - noise))
+            loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b * keep)
+            loss = loss_noise + geom_lambda * loss_geom
+            return loss, {"loss_noise": loss_noise, "loss_geom": loss_geom}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss, **aux}
+
+    return step
+
+
+def make_latent_eval_step_indexed(
+    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule, geom_lambda: float
+):
+    T = schedule.num_timesteps
+
+    @jax.jit
+    def step(params, vae_params, data, idx, key):
+        k_vae, k_t, k_noise = jax.random.split(key, 3)
+        images = jnp.take(data["image_u8"], idx, axis=0).astype(
+            jnp.float32) / 255.0
+        vals_b = jnp.take(data["vals"], idx, axis=0)
+        mask_b = jnp.take(data["mask"], idx, axis=0)
+        y_b = jnp.take(data["y"], idx, axis=0).astype(jnp.int32)
+        z, _ = vae.apply(
+            {"params": vae_params}, images, method=VAE.encode,
+            rngs={"sample": k_vae},
+        )
+        B = z.shape[0]
+        t = jax.random.randint(k_t, (B,), 1, T + 1)
+        noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
+        z_noisy = q_sample(schedule, z, t, noise)
+        eps_pred, geom_pred = unet.apply(
+            {"params": params}, z_noisy, t, y_b, vals_b, mask_b
+        )
+        loss_noise = jnp.mean(jnp.square(eps_pred - noise))
+        loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b)
+        return {"loss": loss_noise + geom_lambda * loss_geom,
+                "loss_noise": loss_noise, "loss_geom": loss_geom}
+
+    return step
+
+
+def make_latent_epoch_fn(
+    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
+    cfg_drop_prob: float, geom_lambda: float,
+):
+    """A full stage-2 training epoch as ONE jitted program (lax.scan over
+    index batches of the HBM-resident dataset): frozen-VAE encode, q-sample,
+    CFG dropout, UNet fwd/bwd, Adam — ×S steps — in a single dispatch."""
+    T = schedule.num_timesteps
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def epoch_fn(state: train_state.TrainState, vae_params, data,
+                 idx_matrix: jnp.ndarray, key: jax.Array):
+        def body(state, inp):
+            i, idx = inp
+            k = jax.random.fold_in(key, i)
+            k_vae, k_t, k_noise, k_drop = jax.random.split(k, 4)
+            images = jnp.take(data["image_u8"], idx, axis=0).astype(
+                jnp.float32) / 255.0
+            vals_b = jnp.take(data["vals"], idx, axis=0)
+            mask_b = jnp.take(data["mask"], idx, axis=0)
+            y_b = jnp.take(data["y"], idx, axis=0)
+
+            z, _ = vae.apply(
+                {"params": vae_params}, images, method=VAE.encode,
+                rngs={"sample": k_vae},
+            )
+            B = z.shape[0]
+            t = jax.random.randint(k_t, (B,), 1, T + 1)
+            noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
+            z_noisy = q_sample(schedule, z, t, noise)
+
+            drop = jax.random.uniform(k_drop, (B,)) < cfg_drop_prob
+            y_used = jnp.where(drop, 0, y_b).astype(jnp.int32)
+            keep = (~drop).astype(jnp.float32)[:, None]
+
+            def loss_fn(params):
+                eps_pred, geom_pred = unet.apply(
+                    {"params": params}, z_noisy, t, y_used,
+                    vals_b * keep, mask_b * keep,
+                )
+                loss_noise = jnp.mean(jnp.square(eps_pred - noise))
+                loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b * keep)
+                return loss_noise + geom_lambda * loss_geom
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        S = idx_matrix.shape[0]
+        state, losses = jax.lax.scan(
+            body, state, (jnp.arange(S), idx_matrix)
+        )
+        return state, losses
+
+    return epoch_fn
+
+
+def make_latent_eval_epoch_fn(
+    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule, geom_lambda: float
+):
+    T = schedule.num_timesteps
+
+    @jax.jit
+    def epoch_fn(params, vae_params, data, idx_matrix, key):
+        def body(_, inp):
+            i, idx = inp
+            k = jax.random.fold_in(key, i)
+            k_vae, k_t, k_noise = jax.random.split(k, 3)
+            images = jnp.take(data["image_u8"], idx, axis=0).astype(
+                jnp.float32) / 255.0
+            vals_b = jnp.take(data["vals"], idx, axis=0)
+            mask_b = jnp.take(data["mask"], idx, axis=0)
+            y_b = jnp.take(data["y"], idx, axis=0).astype(jnp.int32)
+            z, _ = vae.apply(
+                {"params": vae_params}, images, method=VAE.encode,
+                rngs={"sample": k_vae},
+            )
+            B = z.shape[0]
+            t = jax.random.randint(k_t, (B,), 1, T + 1)
+            noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
+            z_noisy = q_sample(schedule, z, t, noise)
+            eps_pred, geom_pred = unet.apply(
+                {"params": params}, z_noisy, t, y_b, vals_b, mask_b
+            )
+            loss = jnp.mean(jnp.square(eps_pred - noise)) + (
+                geom_lambda * masked_geom_mse(geom_pred, vals_b, mask_b)
+            )
+            return None, loss
+
+        S = idx_matrix.shape[0]
+        _, losses = jax.lax.scan(body, None, (jnp.arange(S), idx_matrix))
+        return losses
+
+    return epoch_fn
+
+
 def make_latent_eval_step(
     unet: CondUNet, vae: VAE, schedule: DiffusionSchedule, geom_lambda: float
 ):
@@ -194,19 +372,37 @@ def train_latent_cond(cfg: LatentTrainConfig,
         vae_params = load_params(cfg.vae_ckpt, target)
 
     train_ds, val_ds = _resolve_datasets(cfg)
-    put = functools.partial(shard_batch, mesh=mesh)
-    train_loader = PrefetchLoader(train_ds, cfg.batch_size, shuffle=True,
-                                  seed=cfg.seed, device_put_fn=put)
-    val_loader = PrefetchLoader(val_ds, cfg.batch_size, shuffle=False,
-                                device_put_fn=put)
+
+    from .device_data import (
+        epoch_index_matrix, maybe_device_resident, put_index_matrix,
+    )
+
+    train_dev = maybe_device_resident(train_ds, mesh)
+    val_dev = maybe_device_resident(val_ds, mesh)
+    np_rng = np.random.default_rng(cfg.seed)
+    if train_dev is None or val_dev is None:
+        put = functools.partial(shard_batch, mesh=mesh)
+        train_loader = PrefetchLoader(train_ds, cfg.batch_size, shuffle=True,
+                                      seed=cfg.seed, device_put_fn=put)
+        val_loader = PrefetchLoader(val_ds, cfg.batch_size, shuffle=False,
+                                    device_put_fn=put)
 
     rng = jax.random.PRNGKey(cfg.seed)
     ih, iw = cfg.data.image_size
     state = create_latent_state(rng, cfg, unet, (ih // 8, iw // 8))
-    train_step = make_latent_train_step(
-        unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda
-    )
-    eval_step = make_latent_eval_step(unet, vae, schedule, cfg.geom_lambda)
+    if train_dev is not None:
+        train_epoch_fn = make_latent_epoch_fn(
+            unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda
+        )
+        eval_epoch_fn = make_latent_eval_epoch_fn(
+            unet, vae, schedule, cfg.geom_lambda
+        )
+    else:
+        train_step = make_latent_train_step(
+            unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda
+        )
+        eval_step = make_latent_eval_step(unet, vae, schedule,
+                                          cfg.geom_lambda)
 
     os.makedirs(cfg.model_para_dir, exist_ok=True)
     rolling_path = os.path.join(cfg.model_para_dir, "trained_para.msgpack")
@@ -235,34 +431,48 @@ def train_latent_cond(cfg: LatentTrainConfig,
     profile_ctx = trace(cfg.profile_dir)
     profile_ctx.__enter__()
     for epoch in range(start_epoch, cfg.epochs + 1):
-        tot, cnt = 0.0, 0
-        improved = False
-        for batch in train_loader:
+        # per-step losses stay on device; one host sync per epoch so the
+        # dispatch queue never stalls on a device round-trip
+        if train_dev is not None:
             rng, sk = jax.random.split(rng)
-            state, m = train_step(state, vae_params, batch, sk)
-            loss = float(m["loss"])
-            tot += loss
-            cnt += 1
-            timer.tick(batch["image"].shape[0])
-            if loss < best_batch_loss:
-                best_batch_loss = loss
-                improved = True
+            idx = epoch_index_matrix(len(train_ds), cfg.batch_size, np_rng)
+            state, losses = train_epoch_fn(
+                state, vae_params, train_dev, put_index_matrix(idx, mesh), sk
+            )
+            timer.tick(0)
+            timer.tick(idx.size)
+        else:
+            losses = []
+            for batch in train_loader:
+                rng, sk = jax.random.split(rng)
+                state, m = train_step(state, vae_params, batch, sk)
+                losses.append(m["loss"])
+                timer.tick(batch["image"].shape[0])
+        epoch_losses = np.asarray(jax.device_get(losses), dtype=np.float64)
         # rolling best checkpoint, written at most once per epoch (the
         # reference writes ~100 MB per improving batch,
         # train_latent_cond.py:168-170 — host I/O would stall the device)
-        if improved:
+        if epoch_losses.size and float(epoch_losses.min()) < best_batch_loss:
+            best_batch_loss = float(epoch_losses.min())
             save_params(rolling_path, state.params)
-        train_loss = tot / max(cnt, 1)
+        train_loss = float(epoch_losses.mean()) if epoch_losses.size else 0.0
         train_losses.append(train_loss)
 
         if epoch % cfg.val_interval == 0:
-            vt, vc = 0.0, 0
-            for batch in val_loader:
+            vlosses = []
+            if val_dev is not None:
                 rng, sk = jax.random.split(rng)
-                m = eval_step(state.params, vae_params, batch, sk)
-                vt += float(m["loss"])
-                vc += 1
-            val_loss = vt / max(vc, 1)
+                vidx = epoch_index_matrix(len(val_ds), cfg.batch_size,
+                                          np_rng, shuffle=False)
+                vlosses = eval_epoch_fn(state.params, vae_params, val_dev,
+                                        put_index_matrix(vidx, mesh), sk)
+            else:
+                for batch in val_loader:
+                    rng, sk = jax.random.split(rng)
+                    m = eval_step(state.params, vae_params, batch, sk)
+                    vlosses.append(m["loss"])
+            val_arr = np.asarray(jax.device_get(vlosses), dtype=np.float64)
+            val_loss = float(val_arr.mean()) if val_arr.size else 0.0
             val_losses.append(val_loss)
             print(f"[Epoch {epoch:03d}] train={train_loss:.6f}  "
                   f"val={val_loss:.6f}")

@@ -69,6 +69,98 @@ def make_vae_train_step(model: VAE):
     return step
 
 
+def make_vae_train_step_indexed(model: VAE):
+    """Device-resident data path: the step gathers its batch from a
+    HBM-resident uint8 dataset by int32 indices and converts to float
+    in-program — per-step host→device traffic is just (B,) indices."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: train_state.TrainState, images_u8: jnp.ndarray,
+             idx: jnp.ndarray, key: jax.Array):
+        images = jnp.take(images_u8, idx, axis=0).astype(jnp.float32) / 255.0
+
+        def loss_fn(params):
+            _, _, loss, aux = model.apply(
+                {"params": params}, images, rngs={"sample": key}
+            )
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss, **aux}
+
+    return step
+
+
+def make_vae_eval_step_indexed(model: VAE):
+    @jax.jit
+    def step(params, images_u8: jnp.ndarray, idx: jnp.ndarray,
+             key: jax.Array):
+        images = jnp.take(images_u8, idx, axis=0).astype(jnp.float32) / 255.0
+        _, _, loss, aux = model.apply(
+            {"params": params}, images, rngs={"sample": key}
+        )
+        return {"loss": loss, **aux}
+
+    return step
+
+
+def make_vae_epoch_fn(model: VAE):
+    """A full training epoch as ONE jitted program: lax.scan over index
+    batches of the HBM-resident dataset. One host dispatch per epoch — the
+    per-step Python/tunnel round-trip (which dwarfs the device time of a
+    single step) disappears entirely."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def epoch_fn(state: train_state.TrainState, images_u8: jnp.ndarray,
+                 idx_matrix: jnp.ndarray, key: jax.Array):
+        def body(state, inp):
+            i, idx = inp
+            sk = jax.random.fold_in(key, i)
+            images = jnp.take(images_u8, idx, axis=0).astype(
+                jnp.float32) / 255.0
+
+            def loss_fn(params):
+                _, _, loss, _ = model.apply(
+                    {"params": params}, images, rngs={"sample": sk}
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        S = idx_matrix.shape[0]
+        state, losses = jax.lax.scan(
+            body, state, (jnp.arange(S), idx_matrix)
+        )
+        return state, losses
+
+    return epoch_fn
+
+
+def make_vae_eval_epoch_fn(model: VAE):
+    @jax.jit
+    def epoch_fn(params, images_u8: jnp.ndarray, idx_matrix: jnp.ndarray,
+                 key: jax.Array):
+        def body(_, inp):
+            i, idx = inp
+            images = jnp.take(images_u8, idx, axis=0).astype(
+                jnp.float32) / 255.0
+            _, _, loss, _ = model.apply(
+                {"params": params}, images,
+                rngs={"sample": jax.random.fold_in(key, i)},
+            )
+            return None, loss
+
+        S = idx_matrix.shape[0]
+        _, losses = jax.lax.scan(body, None, (jnp.arange(S), idx_matrix))
+        return losses
+
+    return epoch_fn
+
+
 def make_vae_eval_step(model: VAE):
     @jax.jit
     def step(params, images: jnp.ndarray, key: jax.Array):
@@ -124,19 +216,34 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
 
     mesh = mesh_for_batch(cfg.batch_size)
     train_ds, val_ds = _resolve_datasets(cfg)
-    put = functools.partial(shard_batch, mesh=mesh)
-    train_loader = PrefetchLoader(
-        train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
-        device_put_fn=put,
+
+    # device-resident data when it fits in HBM (indices-only steps);
+    # streaming prefetch loader otherwise
+    from .device_data import (
+        epoch_index_matrix, maybe_device_resident, put_index_matrix,
     )
-    val_loader = PrefetchLoader(
-        val_ds, cfg.batch_size, shuffle=False, device_put_fn=put,
-    )
+
+    train_dev = maybe_device_resident(train_ds, mesh)
+    val_dev = maybe_device_resident(val_ds, mesh)
+    np_rng = np.random.default_rng(cfg.seed)
+    if train_dev is None or val_dev is None:
+        put = functools.partial(shard_batch, mesh=mesh)
+        train_loader = PrefetchLoader(
+            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            device_put_fn=put,
+        )
+        val_loader = PrefetchLoader(
+            val_ds, cfg.batch_size, shuffle=False, device_put_fn=put,
+        )
 
     rng = jax.random.PRNGKey(cfg.seed)
     model, state = create_vae_state(rng, cfg, cfg.data.image_size)
-    train_step = make_vae_train_step(model)
-    eval_step = make_vae_eval_step(model)
+    if train_dev is not None:
+        train_epoch_fn = make_vae_epoch_fn(model)
+        eval_epoch_fn = make_vae_eval_epoch_fn(model)
+    else:
+        train_step = make_vae_train_step(model)
+        eval_step = make_vae_eval_step(model)
 
     out_dir = out_dir or os.path.join(cfg.save_dir, timestamp_dir_name())
     os.makedirs(out_dir, exist_ok=True)
@@ -176,24 +283,48 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
     profile_ctx = trace(cfg.profile_dir)
     profile_ctx.__enter__()
     for epoch in range(start_epoch, cfg.epochs + 1):
-        tot, cnt = 0.0, 0
-        for batch in train_loader:
+        # keep per-step losses as device scalars — forcing them to host every
+        # step would serialize dispatch on the device round-trip; one sync at
+        # epoch end lets XLA run the whole epoch asynchronously
+        if train_dev is not None:
+            # ONE dispatch for the whole epoch (lax.scan over index batches)
             rng, sk = jax.random.split(rng)
-            state, m = train_step(state, batch["image"], sk)
+            idx = epoch_index_matrix(len(train_ds), cfg.batch_size, np_rng)
+            state, losses = train_epoch_fn(
+                state, train_dev["image_u8"], put_index_matrix(idx, mesh), sk
+            )
             current["state"] = state
-            tot += float(m["loss"])
-            cnt += 1
-            step_count += 1
-            timer.tick(batch["image"].shape[0])
-        train_loss = tot / max(cnt, 1)
+            train_loss = float(np.mean(jax.device_get(losses)))
+            step_count += idx.shape[0]
+            timer.tick(0)
+            timer.tick(idx.size)  # whole epoch in one tick
+        else:
+            losses = []
+            for batch in train_loader:
+                rng, sk = jax.random.split(rng)
+                state, m = train_step(state, batch["image"], sk)
+                current["state"] = state
+                losses.append(m["loss"])
+                step_count += 1
+                timer.tick(batch["image"].shape[0])
+            train_loss = (float(np.mean(jax.device_get(losses)))
+                          if losses else 0.0)
 
-        vt, vc = 0.0, 0
-        for batch in val_loader:
+        if val_dev is not None:
             rng, sk = jax.random.split(rng)
-            m = eval_step(state.params, batch["image"], sk)
-            vt += float(m["loss"])
-            vc += 1
-        val_loss = vt / max(vc, 1)
+            vidx = epoch_index_matrix(len(val_ds), cfg.batch_size, np_rng,
+                                      shuffle=False)
+            vlosses = eval_epoch_fn(state.params, val_dev["image_u8"],
+                                    put_index_matrix(vidx, mesh), sk)
+            val_loss = float(np.mean(jax.device_get(vlosses)))
+        else:
+            vlosses = []
+            for batch in val_loader:
+                rng, sk = jax.random.split(rng)
+                m = eval_step(state.params, batch["image"], sk)
+                vlosses.append(m["loss"])
+            val_loss = (float(np.mean(jax.device_get(vlosses)))
+                        if vlosses else 0.0)
 
         history["train"].append(train_loss)
         history["val"].append(val_loss)
