@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..ops import attention as attention_ops
 from ..ops import groupnorm as gn_ops
+from ..ops import resblock as resblock_ops
 from ..ops.resize import pad_to_match, upsample2x
 
 Dtype = Any
@@ -63,7 +64,10 @@ class TorchGroupNorm(nn.Module):
 
 class ResBlock(nn.Module):
     """conv3×3(no bias) → GN(1)+GELU → conv3×3(no bias) → GN(1);
-    optional residual with post-add GELU (unet.py:9-29)."""
+    optional residual with post-add GELU (unet.py:9-29).
+
+    On TPU the whole block runs as ONE fused Pallas kernel
+    (ops/resblock.py); elsewhere an XLA composition with identical math."""
 
     out_channels: int
     mid_channels: Optional[int] = None
@@ -73,19 +77,22 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
         mid = self.mid_channels or self.out_channels
-        h = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
-        h = TorchGroupNorm(1, apply_gelu=True, use_pallas=self.use_pallas,
-                           name="gn1")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, name="conv2")(h)
-        h = TorchGroupNorm(1, apply_gelu=False, use_pallas=self.use_pallas,
-                           name="gn2")(h)
-        if self.residual:
-            return jax.nn.gelu((x + h).astype(jnp.float32),
-                               approximate=False).astype(h.dtype)
-        return h
+        init = nn.initializers.lecun_normal()
+        w1 = self.param("conv1_kernel", init, (3, 3, cin, mid), jnp.float32)
+        w2 = self.param("conv2_kernel", init,
+                        (3, 3, mid, self.out_channels), jnp.float32)
+        s1 = self.param("gn1_scale", nn.initializers.ones, (mid,), jnp.float32)
+        b1 = self.param("gn1_bias", nn.initializers.zeros, (mid,), jnp.float32)
+        s2 = self.param("gn2_scale", nn.initializers.ones,
+                        (self.out_channels,), jnp.float32)
+        b2 = self.param("gn2_bias", nn.initializers.zeros,
+                        (self.out_channels,), jnp.float32)
+        return resblock_ops.resblock(
+            x.astype(self.dtype), w1, w2, s1, b1, s2, b2,
+            residual=self.residual, use_pallas=self.use_pallas,
+        )
 
 
 class AttentionBlock(nn.Module):

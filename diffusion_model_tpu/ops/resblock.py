@@ -1,0 +1,211 @@
+"""Fully-fused ResBlock — conv3×3 → GN(1)+GELU → conv3×3 → GN(1)
+[→ +x → GELU] in ONE Pallas kernel per batch row.
+
+The reference ResBlock (/root/reference/models/unet.py:9-29) is the U-Net's
+workhorse (13 instances per forward). Composed of separate conv/norm ops it
+costs ~6 HBM round-trips of the activation per block; at the U-Net's small
+spatial sizes (≤ 28²) the whole block fits in VMEM, so this kernel computes
+everything in one pass.
+
+Convolution strategy (Mosaic cannot reshape the lane dim, so no im2col
+tensors): with the activation flattened to (H·W, C), a 3×3 conv is nine
+shifted (H·W, Cin) @ (Cin, Cout) MXU matmuls — shift by ``dy·W + dx`` rows
+(static slices) with column masks fixing the row-wraparound at image edges.
+f32 accumulation; bf16 operands in production.
+
+Autodiff: custom_vjp with the XLA-reference backward (same pattern as
+ops/groupnorm.py / ops/attention.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..utils.env import pallas_supported
+from .groupnorm import group_norm_reference
+from .kernel_math import gelu_exact
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (also the backward)
+# ---------------------------------------------------------------------------
+
+def _conv3x3(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def resblock_reference(
+    x: jnp.ndarray,
+    w1: jnp.ndarray, w2: jnp.ndarray,
+    gn1_scale: jnp.ndarray, gn1_bias: jnp.ndarray,
+    gn2_scale: jnp.ndarray, gn2_bias: jnp.ndarray,
+    residual: bool = False,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    h = _conv3x3(x, w1)
+    h = group_norm_reference(h, gn1_scale, gn1_bias, 1, eps=eps,
+                             apply_gelu=True)
+    h = _conv3x3(h, w2)
+    h = group_norm_reference(h, gn2_scale, gn2_bias, 1, eps=eps)
+    if residual:
+        return jax.nn.gelu((x + h).astype(jnp.float32),
+                           approximate=False).astype(x.dtype)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _shift_rows(a: jnp.ndarray, o: int) -> jnp.ndarray:
+    """Shift (N, C) rows down by o (o may be negative), zero-filling."""
+    n, c = a.shape
+    if o == 0:
+        return a
+    pad = jnp.zeros((abs(o), c), a.dtype)
+    if o > 0:
+        return jnp.concatenate([pad, a[:-o]], axis=0)
+    return jnp.concatenate([a[-o:], pad], axis=0)
+
+
+def _conv3x3_flat(x: jnp.ndarray, w: jnp.ndarray, W: int,
+                  col: jnp.ndarray, dt) -> jnp.ndarray:
+    """3×3 SAME conv on a flattened (H·W, Cin) image via 9 shifted matmuls.
+
+    ``col`` is (H·W, 1) column ids. Cross-correlation semantics:
+    out(y,x) = Σ_{ky,kx} x(y+ky−1, x+kx−1)·W[ky,kx]. Shifting the flat image
+    DOWN by dy·W + dx makes row p read x(y−dy, x−dx), which pairs with
+    weight tap W[1−dy, 1−dx]; column masks zero the row-wraparound at the
+    left/right image edges.
+    """
+    cout = w.shape[-1]
+    acc = jnp.zeros((x.shape[0], cout), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            src = _shift_rows(x, dy * W + dx)
+            if dx == 1:
+                src = jnp.where(col == 0, jnp.zeros_like(src), src)
+            elif dx == -1:
+                src = jnp.where(col == W - 1, jnp.zeros_like(src), src)
+            wk = w[1 - dy, 1 - dx].astype(dt)  # (Cin, Cout)
+            acc += jnp.dot(src.astype(dt), wk,
+                           preferred_element_type=jnp.float32)
+    return acc  # f32
+
+
+def _gn1_gelu(h: jnp.ndarray, scale, bias, eps: float,
+              gelu: bool) -> jnp.ndarray:
+    """GroupNorm(1 group) over the whole (HW, C) sample, f32."""
+    n = float(h.shape[0] * h.shape[1])
+    mean = jnp.sum(h) / n
+    var = jnp.sum(jnp.square(h - mean)) / n
+    out = (h - mean) * jax.lax.rsqrt(var + eps) * scale.astype(
+        jnp.float32) + bias.astype(jnp.float32)
+    return gelu_exact(out) if gelu else out
+
+
+def _resblock_kernel(x_ref, w1_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref,
+                     o_ref, *, W: int, residual: bool, eps: float,
+                     bf16: bool):
+    x = x_ref[0]  # (HW, Cin)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    hw = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) % W
+
+    h = _conv3x3_flat(x, w1_ref[:], W, col, dt)
+    h = _gn1_gelu(h, s1_ref[:], b1_ref[:], eps, gelu=True)
+    h = _conv3x3_flat(h.astype(dt), w2_ref[:], W, col, dt)
+    h = _gn1_gelu(h, s2_ref[:], b2_ref[:], eps, gelu=False)
+    if residual:
+        h = gelu_exact(x.astype(jnp.float32) + h)
+    o_ref[0] = h.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("residual", "eps"))
+def _resblock_pallas_raw(
+    x, w1, w2, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
+    residual: bool = False, eps: float = 1e-5,
+):
+    B, H, W, Cin = x.shape
+    cmid = w1.shape[-1]
+    cout = w2.shape[-1]
+    bf16 = x.dtype == jnp.bfloat16
+    xf = x.reshape(B, H * W, Cin)
+    out = pl.pallas_call(
+        functools.partial(_resblock_kernel, W=W, residual=residual,
+                          eps=eps, bf16=bf16),
+        out_shape=jax.ShapeDtypeStruct((B, H * W, cout), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H * W, Cin), lambda i: (i, 0, 0)),
+            pl.BlockSpec((3, 3, Cin, cmid), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((3, 3, cmid, cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((cmid,), lambda i: (0,)),
+            pl.BlockSpec((cmid,), lambda i: (0,)),
+            pl.BlockSpec((cout,), lambda i: (0,)),
+            pl.BlockSpec((cout,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, H * W, cout), lambda i: (i, 0, 0)),
+    )(xf, w1, w2, gn1_scale, gn1_bias, gn2_scale, gn2_bias)
+    return out.reshape(B, H, W, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def resblock_pallas(x, w1, w2, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
+                    residual: bool = False, eps: float = 1e-5):
+    """Fused forward with an XLA-reference backward."""
+    return _resblock_pallas_raw(x, w1, w2, gn1_scale, gn1_bias, gn2_scale,
+                                gn2_bias, residual, eps)
+
+
+def _rb_fwd(x, w1, w2, s1, b1, s2, b2, residual, eps):
+    out = _resblock_pallas_raw(x, w1, w2, s1, b1, s2, b2, residual, eps)
+    return out, (x, w1, w2, s1, b1, s2, b2)
+
+
+def _rb_bwd(residual, eps, res, ct):
+    x, w1, w2, s1, b1, s2, b2 = res
+    _, vjp = jax.vjp(
+        lambda x_, w1_, w2_, s1_, b1_, s2_, b2_: resblock_reference(
+            x_, w1_, w2_, s1_, b1_, s2_, b2_, residual=residual, eps=eps
+        ),
+        x, w1, w2, s1, b1, s2, b2,
+    )
+    return vjp(ct)
+
+
+resblock_pallas.defvjp(_rb_fwd, _rb_bwd)
+
+
+# Fused-kernel VMEM budget: activation row + both weight stacks + temps.
+_VMEM_ROW_BUDGET = 1024 * 1024
+
+
+def resblock(
+    x, w1, w2, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
+    residual: bool = False,
+    eps: float = 1e-5,
+    use_pallas: Optional[bool] = None,
+):
+    """Dispatching ResBlock entry point (NHWC)."""
+    if use_pallas is None:
+        use_pallas = pallas_supported()
+    B, H, W, Cin = x.shape
+    cmid, cout = w1.shape[-1], w2.shape[-1]
+    row_bytes = H * W * max(Cin, cmid, cout) * 4
+    wt_bytes = (w1.size + w2.size) * 4
+    if row_bytes > _VMEM_ROW_BUDGET or wt_bytes > 8 * 1024 * 1024:
+        use_pallas = False
+    if use_pallas:
+        return resblock_pallas(x, w1, w2, gn1_scale, gn1_bias, gn2_scale,
+                               gn2_bias, residual, eps)
+    return resblock_reference(x, w1, w2, gn1_scale, gn1_bias, gn2_scale,
+                              gn2_bias, residual=residual, eps=eps)
