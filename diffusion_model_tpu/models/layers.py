@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..ops import attention as attention_ops
 from ..ops import groupnorm as gn_ops
-from ..ops import resblock as resblock_ops
+from ..ops.resblock import resblock as fused_resblock
 from ..ops.resize import pad_to_match, upsample2x
 
 Dtype = Any
@@ -89,7 +89,7 @@ class ResBlock(nn.Module):
                         (self.out_channels,), jnp.float32)
         b2 = self.param("gn2_bias", nn.initializers.zeros,
                         (self.out_channels,), jnp.float32)
-        return resblock_ops.resblock(
+        return fused_resblock(
             x.astype(self.dtype), w1, w2, s1, b1, s2, b2,
             residual=self.residual, use_pallas=self.use_pallas,
         )
