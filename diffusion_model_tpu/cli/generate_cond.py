@@ -14,7 +14,6 @@ import time
 
 import jax
 
-from ..config import GenerateConfig
 from ..data.geometry import CLASS_NAMES
 from ..diffusion import DiffusionSchedule
 from ..models import VAE, VAEConfig, CondUNet, UNetConfig

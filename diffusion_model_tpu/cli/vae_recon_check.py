@@ -9,7 +9,6 @@ import jax.numpy as jnp
 from ..data import LabelDataset
 from ..eval import recon_check
 from ..models import VAE, VAEConfig
-from ..pipeline import DiffusionPipeline  # noqa: F401  (API surface)
 from ..train.checkpoints import load_params
 from .train_vae import parse_items
 

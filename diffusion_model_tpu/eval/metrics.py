@@ -15,7 +15,6 @@ Conventions preserved exactly:
 """
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict, List, Tuple
 
 import numpy as np

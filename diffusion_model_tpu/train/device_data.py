@@ -11,7 +11,7 @@ streaming PrefetchLoader.
 """
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import numpy as np
