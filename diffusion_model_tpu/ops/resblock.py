@@ -85,9 +85,13 @@ def _conv3x3_flat(x: jnp.ndarray, w: jnp.ndarray, W: int,
     DOWN by dy·W + dx makes row p read x(y−dy, x−dx), which pairs with
     weight tap W[1−dy, 1−dx]; column masks zero the row-wraparound at the
     left/right image edges.
+
+    The nine taps are lane-concatenated into one (H·W, 9·Cin) im2col block
+    and contracted with the matching (9·Cin, Cout) weight stack in a single
+    MXU matmul — one big matmul beats nine small ones on the systolic array.
     """
-    cout = w.shape[-1]
-    acc = jnp.zeros((x.shape[0], cout), jnp.float32)
+    taps = []
+    wrows = []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             src = _shift_rows(x, dy * W + dx)
@@ -95,10 +99,11 @@ def _conv3x3_flat(x: jnp.ndarray, w: jnp.ndarray, W: int,
                 src = jnp.where(col == 0, jnp.zeros_like(src), src)
             elif dx == -1:
                 src = jnp.where(col == W - 1, jnp.zeros_like(src), src)
-            wk = w[1 - dy, 1 - dx].astype(dt)  # (Cin, Cout)
-            acc += jnp.dot(src.astype(dt), wk,
-                           preferred_element_type=jnp.float32)
-    return acc  # f32
+            taps.append(src.astype(dt))
+            wrows.append(w[1 - dy, 1 - dx].astype(dt))  # (Cin, Cout)
+    im2col = jnp.concatenate(taps, axis=1)        # (HW, 9·Cin)
+    wmat = jnp.concatenate(wrows, axis=0)         # (9·Cin, Cout)
+    return jnp.dot(im2col, wmat, preferred_element_type=jnp.float32)  # f32
 
 
 def _gn1_gelu(h: jnp.ndarray, scale, bias, eps: float,
