@@ -1,0 +1,106 @@
+"""Inference server: spin up on a tiny model, drive /healthz and /generate
+over real HTTP, probe malformed requests."""
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffusion_model_tpu.diffusion import DiffusionSchedule
+from diffusion_model_tpu.models import VAE, VAEConfig, CondUNet, UNetConfig
+from diffusion_model_tpu.pipeline import DiffusionPipeline
+from diffusion_model_tpu.cli.serve import make_handler
+
+
+@pytest.fixture(scope="module")
+def server():
+    rng = jax.random.PRNGKey(0)
+    vae = VAE(VAEConfig(base_channels=8))
+    unet = CondUNet(UNetConfig(in_ch=4, time_dim=32, num_classes=3,
+                               with_geom_head=True, base_ch=8,
+                               remove_deep_conv=True))
+    vae_params = vae.init({"params": rng, "sample": rng},
+                          jnp.zeros((1, 32, 32, 3)))["params"]
+    z = jnp.zeros((1, 4, 4, 4))
+    unet_params = unet.init(
+        rng, z, jnp.ones((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 12)), jnp.zeros((1, 12)))["params"]
+    pipe = DiffusionPipeline(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        schedule=DiffusionSchedule.create(4), use_data_parallel=False,
+    )
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(pipe, (32, 32), 4, "ddpm"))
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and body["status"] == "ok"
+
+
+def test_generate_roundtrip(server):
+    code, body = _post(server, {
+        "class_id": 2, "count": 2,
+        "cond": {"cx": 0.5, "cy": 0.5, "cr": 0.2},
+        "guidance_scale": 2.0, "seed": 7,
+    })
+    assert code == 200
+    assert len(body["images"]) == 2
+    img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
+    assert img.size == (32, 32)
+    assert body["elapsed_s"] >= 0
+
+
+def test_generate_ddim(server):
+    code, body = _post(server, {"class_id": 1, "count": 1,
+                                "sampler": "ddim",
+                                "num_inference_steps": 2})
+    assert code == 200 and len(body["images"]) == 1
+
+
+def test_generate_rejects_bad_requests(server):
+    code, body = _post(server, {"class_id": 9})
+    assert code == 400 and "class_id" in body["error"]
+    code, body = _post(server, {"class_id": 1, "count": 999})
+    assert code == 400 and "count" in body["error"]
+    code, body = _post(server, {"class_id": 1, "sampler": "magic"})
+    assert code == 400 and "sampler" in body["error"]
+    # unknown path
+    req = urllib.request.Request(server + "/nope", data=b"{}")
+    try:
+        urllib.request.urlopen(req)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_serve_parser():
+    from diffusion_model_tpu.cli.serve import build_parser
+
+    a = build_parser().parse_args(["--unet_ckpt", "u", "--vae_ckpt", "v",
+                                   "--port", "9000", "--warm"])
+    assert a.port == 9000 and a.warm
