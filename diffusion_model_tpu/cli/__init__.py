@@ -10,4 +10,8 @@
   python -m diffusion_model_tpu.cli.make_dataset       (no reference
       counterpart: the synthetic line/circle/arc dataset generator the
       reference never shipped)
+  python -m diffusion_model_tpu.cli.generate_uncond    (Utils.generate
+      parity: unconditional pixel-space sampling)
+  python -m diffusion_model_tpu.cli.serve              (no reference
+      counterpart: warm-pipeline HTTP inference server)
 """
