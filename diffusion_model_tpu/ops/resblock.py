@@ -35,11 +35,13 @@ from .kernel_math import gelu_exact
 # ---------------------------------------------------------------------------
 
 def _conv3x3(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    # No preferred_element_type: mixed bf16-operand/f32-output convs break
+    # the conv transpose rule under autodiff (cotangent dtype mismatch);
+    # bf16 convs still accumulate in f32 on the MXU.
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def resblock_reference(

@@ -91,6 +91,19 @@ def test_resblock_dispatch_and_grad_cpu():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_resblock_bf16_grads():
+    """bf16 activations with f32 params must differentiate (the production
+    training dtype mix; a mixed-dtype conv output broke the transpose)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8)), jnp.bfloat16)
+    p = _params(rng, 8, 8, 8)
+    gw = jax.grad(lambda w1: resblock(
+        x, w1, p["w2"], p["gn1_scale"], p["gn1_bias"], p["gn2_scale"],
+        p["gn2_bias"], residual=True).astype(jnp.float32).sum())(p["w1"])
+    assert gw.dtype == jnp.float32
+    assert np.isfinite(np.asarray(gw)).all()
+
+
 def test_resblock_module_param_tree():
     from diffusion_model_tpu.models import ResBlock
 
