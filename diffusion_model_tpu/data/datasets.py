@@ -180,3 +180,17 @@ class CaptionDataset:
             imgs[j] = load_image(path, self.image_size)
             ys[j] = c
         return {"image": imgs, "y": ys}
+
+    def materialize(self) -> dict:
+        """uint8 image tensor for device-resident training (see
+        LabelDataset.materialize)."""
+        n = len(self.items)
+        h, w = self.image_size[1], self.image_size[0]
+        imgs = np.empty((n, h, w, 3), dtype=np.uint8)
+        ys = np.empty((n,), dtype=np.int32)
+        for i, (path, _, c) in enumerate(self.items):
+            imgs[i] = (load_image(path, self.image_size) * 255.0).astype(
+                np.uint8
+            )
+            ys[i] = c
+        return {"image_u8": imgs, "y": ys}
