@@ -1,0 +1,142 @@
+"""Continue stage-2 training from a saved parameter checkpoint, then
+regenerate and re-evaluate. Demonstrates warm-starting from the rolling
+``model_para/trained_para.msgpack`` artifact with the public APIs.
+
+Usage:
+  python scripts/continue_latent.py --root /tmp/quality_v2 --epochs 100
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True,
+                    help="quality_run root (data/, vae/, model_para/)")
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--timesteps", type=int, default=1000)
+    ap.add_argument("--gen_count", type=int, default=200)
+    args = ap.parse_args()
+    os.chdir(args.root)
+
+    import glob
+
+    import optax
+    from flax.training import train_state
+
+    from diffusion_model_tpu.config import DataConfig, LatentTrainConfig
+    from diffusion_model_tpu.data import LabelDataset
+    from diffusion_model_tpu.data.geometry import CLASS_NAMES
+    from diffusion_model_tpu.diffusion import DiffusionSchedule
+    from diffusion_model_tpu.eval import evaluate_dirs
+    from diffusion_model_tpu.parallel import mesh_for_batch
+    from diffusion_model_tpu.pipeline import CsvConditionSampler, DiffusionPipeline
+    from diffusion_model_tpu.train.checkpoints import load_params, save_params
+    from diffusion_model_tpu.train.device_data import (
+        epoch_index_matrix, maybe_device_resident, put_index_matrix,
+    )
+    from diffusion_model_tpu.train.train_latent import (
+        build_models, create_latent_state, make_latent_epoch_fn,
+    )
+
+    cfg = LatentTrainConfig(
+        batch_size=args.batch_size, lr=args.lr,
+        num_timesteps=args.timesteps,
+        data=DataConfig(),
+    )
+    vae, unet = build_models(cfg)
+    schedule = DiffusionSchedule.create(args.timesteps)
+    rng = jax.random.PRNGKey(123)
+
+    vae_ckpt = sorted(glob.glob("./vae/*/vae_best.msgpack"))[-1]
+    target_v = vae.init({"params": rng, "sample": rng},
+                        jnp.zeros((1, 224, 224, 3)))["params"]
+    vae_params = load_params(vae_ckpt, target_v)
+
+    state = create_latent_state(rng, cfg, unet, (28, 28))
+    unet_params = load_params("./model_para/trained_para.msgpack",
+                              state.params)
+    state = train_state.TrainState.create(
+        apply_fn=unet.apply, params=unet_params, tx=optax.adam(args.lr),
+    )
+
+    items = [
+        (f"./data/{c}_224x224/{c}_224x224.csv", f"./data/{c}_224x224", i)
+        for i, c in ((1, "line"), (2, "circle"), (3, "arc"))
+    ]
+    ds = LabelDataset(items, cache_images=True)
+    mesh = mesh_for_batch(cfg.batch_size)
+    data_dev = maybe_device_resident(ds, mesh)
+    assert data_dev is not None
+
+    epoch_fn = make_latent_epoch_fn(unet, vae, schedule,
+                                    cfg.cfg_drop_prob, cfg.geom_lambda)
+    np_rng = np.random.default_rng(7)
+    t0 = time.time()
+    log = {"resumed_from": "./model_para/trained_para.msgpack",
+           "extra_epochs": args.epochs}
+    losses_hist = []
+    for epoch in range(1, args.epochs + 1):
+        rng, sk = jax.random.split(rng)
+        idx = epoch_index_matrix(len(ds), cfg.batch_size, np_rng)
+        state, losses = epoch_fn(state, vae_params, data_dev,
+                                 put_index_matrix(idx, mesh), sk)
+        if epoch % 10 == 0 or epoch == args.epochs:
+            m = float(np.mean(jax.device_get(losses)))
+            losses_hist.append(round(m, 5))
+            print(f"[cont {epoch:03d}] train={m:.6f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    save_params("./model_para/trained_para_cont.msgpack", state.params)
+    log["train_s"] = round(time.time() - t0, 1)
+    log["losses_every10"] = losses_hist
+
+    pipe = DiffusionPipeline(
+        unet=unet, unet_params=state.params, vae=vae, vae_params=vae_params,
+        schedule=schedule,
+    )
+    sampler = CsvConditionSampler(pipe, class_id=1)
+    from diffusion_model_tpu.train.recorder import save_images
+
+    summaries = {}
+    for cls, cname in CLASS_NAMES.items():
+        d = f"./data/{cname}_224x224_test"
+        cls_dir = f"./generated_by_cond/continued/{cname}"
+        os.makedirs(cls_dir, exist_ok=True)
+        sampler.set_class_id(cls)
+        imgs = sampler.sample(
+            f"{d}/{cname}_224x224_test.csv", count=args.gen_count,
+            guidance_scale=3.0, key=jax.random.PRNGKey(100 + cls),
+        )
+        save_images(cls_dir, imgs)
+        res = evaluate_dirs(gt_dir=d, gen_dir=cls_dir,
+                            out_dir=f"./eval_result/{cname}_cont",
+                            threshold=128, invert=True, sigma=2.0,
+                            save_diff=True)
+        s = res["summary"].iloc[0]
+        summaries[cname] = {
+            k: round(float(s[k]), 4)
+            for k in ("iou_mean", "gt_iou_mean", "far_noise_ratio_mean",
+                      "gauss_recall_mean", "gauss_recall_median")
+        }
+        print(cname, summaries[cname], flush=True)
+    log["metrics"] = summaries
+    with open("continue_summary.json", "w") as f:
+        json.dump(log, f, indent=2)
+    print(json.dumps(log, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
