@@ -377,15 +377,14 @@ def train_latent_cond(cfg: LatentTrainConfig,
         epoch_index_matrix, maybe_device_resident, put_index_matrix,
     )
 
+    # Residency is decided PER DATASET (a >6GB train set with a small val
+    # set must stream training while keeping validation device-resident),
+    # so the epoch-fused / per-step functions and loaders are each keyed on
+    # their own dataset's residency.
     train_dev = maybe_device_resident(train_ds, mesh)
     val_dev = maybe_device_resident(val_ds, mesh)
     np_rng = np.random.default_rng(cfg.seed)
-    if train_dev is None or val_dev is None:
-        put = functools.partial(shard_batch, mesh=mesh)
-        train_loader = PrefetchLoader(train_ds, cfg.batch_size, shuffle=True,
-                                      seed=cfg.seed, device_put_fn=put)
-        val_loader = PrefetchLoader(val_ds, cfg.batch_size, shuffle=False,
-                                    device_put_fn=put)
+    put = functools.partial(shard_batch, mesh=mesh)
 
     rng = jax.random.PRNGKey(cfg.seed)
     ih, iw = cfg.data.image_size
@@ -394,15 +393,21 @@ def train_latent_cond(cfg: LatentTrainConfig,
         train_epoch_fn = make_latent_epoch_fn(
             unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda
         )
-        eval_epoch_fn = make_latent_eval_epoch_fn(
-            unet, vae, schedule, cfg.geom_lambda
-        )
     else:
         train_step = make_latent_train_step(
             unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda
         )
+        train_loader = PrefetchLoader(train_ds, cfg.batch_size, shuffle=True,
+                                      seed=cfg.seed, device_put_fn=put)
+    if val_dev is not None:
+        eval_epoch_fn = make_latent_eval_epoch_fn(
+            unet, vae, schedule, cfg.geom_lambda
+        )
+    else:
         eval_step = make_latent_eval_step(unet, vae, schedule,
                                           cfg.geom_lambda)
+        val_loader = PrefetchLoader(val_ds, cfg.batch_size, shuffle=False,
+                                    device_put_fn=put)
 
     os.makedirs(cfg.model_para_dir, exist_ok=True)
     rolling_path = os.path.join(cfg.model_para_dir, "trained_para.msgpack")

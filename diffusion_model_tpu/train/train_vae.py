@@ -223,27 +223,31 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
         epoch_index_matrix, maybe_device_resident, put_index_matrix,
     )
 
+    # Residency is decided PER DATASET, so each side's step functions and
+    # loader are keyed on that dataset's own residency (a huge train set
+    # with a small val set streams training but keeps val device-resident).
     train_dev = maybe_device_resident(train_ds, mesh)
     val_dev = maybe_device_resident(val_ds, mesh)
     np_rng = np.random.default_rng(cfg.seed)
-    if train_dev is None or val_dev is None:
-        put = functools.partial(shard_batch, mesh=mesh)
-        train_loader = PrefetchLoader(
-            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
-            device_put_fn=put,
-        )
-        val_loader = PrefetchLoader(
-            val_ds, cfg.batch_size, shuffle=False, device_put_fn=put,
-        )
+    put = functools.partial(shard_batch, mesh=mesh)
 
     rng = jax.random.PRNGKey(cfg.seed)
     model, state = create_vae_state(rng, cfg, cfg.data.image_size)
     if train_dev is not None:
         train_epoch_fn = make_vae_epoch_fn(model)
-        eval_epoch_fn = make_vae_eval_epoch_fn(model)
     else:
         train_step = make_vae_train_step(model)
+        train_loader = PrefetchLoader(
+            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            device_put_fn=put,
+        )
+    if val_dev is not None:
+        eval_epoch_fn = make_vae_eval_epoch_fn(model)
+    else:
         eval_step = make_vae_eval_step(model)
+        val_loader = PrefetchLoader(
+            val_ds, cfg.batch_size, shuffle=False, device_put_fn=put,
+        )
 
     out_dir = out_dir or os.path.join(cfg.save_dir, timestamp_dir_name())
     os.makedirs(out_dir, exist_ok=True)

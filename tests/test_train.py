@@ -150,3 +150,39 @@ def test_recorder_artifacts(tmp_path):
     assert lines[0] == "epoch,train_loss,val_loss"
     assert lines[2].endswith(",")  # NaN val epoch → blank
     assert lines[-2].startswith("min_train,0.4")
+
+
+@pytest.mark.parametrize("stream_side", ["train", "val"])
+def test_vae_mixed_residency(tmp_path, monkeypatch, stream_side):
+    """Residency is decided per dataset: one side streaming while the other
+    is device-resident must still train (regression: the epoch-fused and
+    per-step functions were once defined keyed on train_dev but selected at
+    use time by val_dev → NameError on mixed residency)."""
+    from diffusion_model_tpu.config import DataConfig
+    from diffusion_model_tpu.train import device_data
+    from diffusion_model_tpu.train.train_vae import train_vae
+
+    real = device_data.maybe_device_resident
+    calls = {"n": 0}
+
+    def fake(dataset, mesh, max_bytes=device_data.DEFAULT_MAX_BYTES):
+        i = calls["n"]
+        calls["n"] += 1
+        # train_vae resolves train residency first, then val
+        if (stream_side == "train") == (i == 0):
+            return None
+        return real(dataset, mesh, max_bytes)
+
+    monkeypatch.setattr(device_data, "maybe_device_resident", fake)
+    cfg = VAETrainConfig(
+        epochs=1, batch_size=4, base_channels=8, bf16=False,
+        save_dir=str(tmp_path / "vae"),
+        data=DataConfig(
+            synthetic_root=str(tmp_path / "data"), synthetic_count=8,
+            synthetic_val_count=4, image_size=(32, 32),
+        ),
+    )
+    out = train_vae(cfg, out_dir=str(tmp_path / "out"))
+    assert calls["n"] == 2
+    assert math.isfinite(out["train_losses"][-1])
+    assert math.isfinite(out["val_losses"][-1])
