@@ -34,10 +34,18 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        # (re)build when the library is missing OR older than its source —
+        # a stale binary must never shadow edt.cpp (the .so is gitignored,
+        # never committed)
+        src = os.path.join(_NATIVE_DIR, "edt.cpp")
+        stale = (not os.path.exists(_LIB_PATH)) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if stale:
             try:
                 subprocess.run(
-                    ["make", "-s"], cwd=os.path.abspath(_NATIVE_DIR),
+                    ["make", "-s", "-B"], cwd=os.path.abspath(_NATIVE_DIR),
                     check=True, capture_output=True, timeout=120,
                 )
             except Exception:
