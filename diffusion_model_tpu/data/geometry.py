@@ -61,12 +61,22 @@ def class_mask(class_id: int) -> np.ndarray:
 
 
 def normalize_angle(v: np.ndarray) -> np.ndarray:
-    """Angles to [0,1]: values with |v| > 1 are degrees (mod 360 / 360);
-    values already in [0,1] pass through (entityCsvSampler.py:192-199)."""
+    """Sampler-side angle heuristic: values with |v| > 1 are degrees
+    (mod 360 / 360); values already in [0,1] pass through
+    (entityCsvSampler.py:192-199). Used ONLY for user-supplied sampling
+    conditions — the training encoder uses :func:`angle_plain`. The two
+    differ at theta ≤ 1 degree (pass-through vs /360) and theta = 360
+    (wrap to 0 vs 1.0)."""
     out = np.asarray(v, dtype=np.float32).copy()
     deg = np.abs(out) > 1.0
     out[deg] = (out[deg] % 360.0) / 360.0
     return out
+
+
+def angle_plain(v: np.ndarray) -> np.ndarray:
+    """Training-side angle encoding: plain degrees / 360, no mod and no
+    pass-through (custom_dataset.py:174-176 always computes t/360)."""
+    return np.asarray(v, dtype=np.float32) / 360.0
 
 
 def encode_conditions(
@@ -74,6 +84,7 @@ def encode_conditions(
     class_id: int,
     drawing_size: Tuple[float, float] = (400.0, 400.0),
     image_size: Tuple[float, float] = (224.0, 224.0),
+    angle_mode: str = "plain",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Raw drawing-coordinate rows → (vals, mask), both (B, GEOM_DIM) float32.
 
@@ -86,6 +97,11 @@ def encode_conditions(
     sy = H_img/drawH, Y-flip y_img = (drawH - y)·sy) followed by 0-1
     normalization by the image size; radii use the isotropic x-scale and are
     normalized by image width (custom_dataset.py:121-141).
+
+    ``angle_mode`` selects the reference's two arc-angle encodings:
+    ``"plain"`` (training, t/360 — custom_dataset.py:174-176) or
+    ``"heuristic"`` (sampling, |v|>1 → v%360/360, else pass-through —
+    entityCsvSampler.py:192-199). They agree for 1 < t < 360.
     """
     raw = np.asarray(raw, dtype=np.float32)
     if raw.ndim == 1:
@@ -118,8 +134,9 @@ def encode_conditions(
         vals[:, KEY_INDEX["ax"]] = nx(raw[:, 0])
         vals[:, KEY_INDEX["ay"]] = ny(raw[:, 1])
         vals[:, KEY_INDEX["ar"]] = nr(raw[:, 2])
-        vals[:, KEY_INDEX["theta1"]] = normalize_angle(raw[:, 3])
-        vals[:, KEY_INDEX["theta2"]] = normalize_angle(raw[:, 4])
+        enc = normalize_angle if angle_mode == "heuristic" else angle_plain
+        vals[:, KEY_INDEX["theta1"]] = enc(raw[:, 3])
+        vals[:, KEY_INDEX["theta2"]] = enc(raw[:, 4])
     else:
         raise ValueError("class_id must be 1(line), 2(circle), or 3(arc).")
 
@@ -132,11 +149,14 @@ def conditions_from_csv_rows(
     class_id: int,
     drawing_size: Optional[Tuple[float, float]] = (400.0, 400.0),
     image_size: Tuple[float, float] = (224.0, 224.0),
+    angle_mode: str = "plain",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Headerless 13-column CSV rows (B, 13) → (vals, mask).
 
     If ``drawing_size`` is None it is inferred from the data via
     :func:`infer_drawing_size` (entityCsvSampler.py:167-190).
+    ``angle_mode``: "plain" for training encodes (LabelDataset),
+    "heuristic" for sampling-side CSV conditions (EntityCsvSampler).
     """
     rows = np.asarray(rows, dtype=np.float32)
     if rows.ndim == 1:
@@ -144,7 +164,8 @@ def conditions_from_csv_rows(
     if drawing_size is None:
         drawing_size = infer_drawing_size(rows, class_id)
     raw = rows[:, CSV_COLUMNS[class_id]]
-    return encode_conditions(raw, class_id, drawing_size, image_size)
+    return encode_conditions(raw, class_id, drawing_size, image_size,
+                             angle_mode=angle_mode)
 
 
 _SNAP_CHOICES = (224, 256, 280, 300, 320, 384, 400, 448)

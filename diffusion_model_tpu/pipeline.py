@@ -369,6 +369,7 @@ class CsvConditionSampler:
         vals, mask = G.conditions_from_csv_rows(
             rows, self.class_id, drawing_size=self.base_wh,
             image_size=(float(self.image_hw[0]), float(self.image_hw[1])),
+            angle_mode="heuristic",  # sampler-side parity: _norm_angle_vec
         )
         end = len(vals) if count is None else min(start + count, len(vals))
         if start >= end:

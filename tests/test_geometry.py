@@ -116,3 +116,24 @@ def test_conditions_from_dicts_none_uses_class_masks():
     assert (mask[0] == G.class_mask(1)).all()
     assert (mask[1] == G.class_mask(2)).all()
     assert (mask[2] == G.class_mask(3)).all()
+
+
+def test_training_vs_sampler_angle_encodings():
+    """Training encode is plain t/360 (custom_dataset.py:174-176); the
+    sampler CSV path uses the |v|>1 heuristic (entityCsvSampler.py:192-199).
+    They agree strictly inside (1, 360) and diverge at the edges."""
+    raw = np.array([[100.0, 100.0, 40.0, 0.5, 360.0]], dtype=np.float32)
+    plain, _ = G.encode_conditions(raw, G.CLASS_ARC)  # default: training
+    heur, _ = G.encode_conditions(raw, G.CLASS_ARC, angle_mode="heuristic")
+    i1, i2 = G.KEY_INDEX["theta1"], G.KEY_INDEX["theta2"]
+    # theta=0.5 deg: training /360; heuristic passes through as-already-[0,1]
+    assert plain[0, i1] == pytest.approx(0.5 / 360.0)
+    assert heur[0, i1] == pytest.approx(0.5)
+    # theta=360: training → 1.0; heuristic wraps to 0
+    assert plain[0, i2] == pytest.approx(1.0)
+    assert heur[0, i2] == pytest.approx(0.0)
+    # interior angles agree
+    mid = np.array([[1.0, 1.0, 1.0, 90.0, 270.0]], dtype=np.float32)
+    a, _ = G.encode_conditions(mid, G.CLASS_ARC)
+    b, _ = G.encode_conditions(mid, G.CLASS_ARC, angle_mode="heuristic")
+    np.testing.assert_allclose(a[0, [i1, i2]], b[0, [i1, i2]])
