@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ..utils.env import pallas_supported
+from ..utils.env import pallas_interpret, pallas_supported
 from .kernel_math import gelu_exact
 
 PARAM_KEYS = (
@@ -130,9 +130,10 @@ def _attn_kernel(x_ref, *refs, num_heads: int):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
-def _attention_pallas_raw(
-    x: jnp.ndarray, params: Dict[str, jnp.ndarray], num_heads: int = 4
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _attention_pallas_jit(
+    x: jnp.ndarray, params: Dict[str, jnp.ndarray], num_heads: int,
+    interpret: bool,
 ) -> jnp.ndarray:
     """Pallas fused block: grid over batch, whole (T, C) row + params in VMEM."""
     B, T, C = x.shape
@@ -148,8 +149,13 @@ def _attention_pallas_raw(
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, T, C), lambda i: (i, 0, 0)),
+        interpret=interpret,
     )(x, *plist)
     return out
+
+
+def _attention_pallas_raw(x, params, num_heads: int = 4):
+    return _attention_pallas_jit(x, params, num_heads, pallas_interpret())
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ..utils.env import pallas_supported
+from ..utils.env import pallas_interpret, pallas_supported
 from .kernel_math import gelu_exact
 
 
@@ -88,15 +88,16 @@ def _gn_kernel(x_ref, w_ref, b_ref, o_ref, *, num_groups: int, eps: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_groups", "eps", "apply_gelu")
+    jax.jit, static_argnames=("num_groups", "eps", "apply_gelu", "interpret")
 )
-def _group_norm_pallas_raw(
+def _group_norm_pallas_jit(
     x: jnp.ndarray,
     weight: jnp.ndarray,
     bias: jnp.ndarray,
     num_groups: int,
-    eps: float = 1e-5,
-    apply_gelu: bool = False,
+    eps: float,
+    apply_gelu: bool,
+    interpret: bool,
 ) -> jnp.ndarray:
     """Pallas fused GroupNorm(+GELU); grid over batch, full row in VMEM.
 
@@ -117,8 +118,15 @@ def _group_norm_pallas_raw(
             pl.BlockSpec((C,), lambda i: (0,)),
         ],
         out_specs=pl.BlockSpec((1, H * W, C), lambda i: (i, 0, 0)),
+        interpret=interpret,
     )(xf, weight, bias)
     return out.reshape(B, H, W, C)
+
+
+def _group_norm_pallas_raw(x, weight, bias, num_groups, eps=1e-5,
+                           apply_gelu=False):
+    return _group_norm_pallas_jit(x, weight, bias, num_groups, eps,
+                                  apply_gelu, pallas_interpret())
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

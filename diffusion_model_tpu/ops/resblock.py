@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ..utils.env import pallas_supported
+from ..utils.env import pallas_interpret, pallas_supported
 from .groupnorm import group_norm_reference
 from .kernel_math import gelu_exact
 
@@ -136,10 +136,10 @@ def _resblock_kernel(x_ref, w1_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref,
     o_ref[0] = h.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("residual", "eps"))
-def _resblock_pallas_raw(
+@functools.partial(jax.jit, static_argnames=("residual", "eps", "interpret"))
+def _resblock_pallas_jit(
     x, w1, w2, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
-    residual: bool = False, eps: float = 1e-5,
+    residual: bool, eps: float, interpret: bool,
 ):
     B, H, W, Cin = x.shape
     cmid = w1.shape[-1]
@@ -161,8 +161,15 @@ def _resblock_pallas_raw(
             pl.BlockSpec((cout,), lambda i: (0,)),
         ],
         out_specs=pl.BlockSpec((1, H * W, cout), lambda i: (i, 0, 0)),
+        interpret=interpret,
     )(xf, w1, w2, gn1_scale, gn1_bias, gn2_scale, gn2_bias)
     return out.reshape(B, H, W, cout)
+
+
+def _resblock_pallas_raw(x, w1, w2, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
+                         residual: bool = False, eps: float = 1e-5):
+    return _resblock_pallas_jit(x, w1, w2, gn1_scale, gn1_bias, gn2_scale,
+                                gn2_bias, residual, eps, pallas_interpret())
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))

@@ -8,6 +8,22 @@ import os
 import jax
 
 
+_PALLAS_INTERPRET = False
+
+
+def set_pallas_interpret(value: bool) -> None:
+    """Force Pallas kernels through ``pl.pallas_call(interpret=...)`` — the
+    CPU-CI path for kernel parity tests (tests/test_pallas.py). The flag is
+    part of each kernel's jit key, so toggling retraces correctly."""
+    global _PALLAS_INTERPRET
+    _PALLAS_INTERPRET = bool(value)
+
+
+def pallas_interpret() -> bool:
+    return _PALLAS_INTERPRET or os.environ.get(
+        "DIFFUSION_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
 @functools.lru_cache(maxsize=1)
 def pallas_supported() -> bool:
     """True when Pallas TPU kernels can run (TPU backend present and not
