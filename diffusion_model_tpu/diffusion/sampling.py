@@ -176,10 +176,16 @@ def ddim_step(
 
 
 def ddim_timesteps(num_timesteps: int, num_inference_steps: int) -> jnp.ndarray:
-    """Strided descending timestep subsequence in [1, T], ending at 1."""
+    """Strided descending timestep subsequence in [1, T], ending at 1.
+
+    Computed in NumPy at trace time (both args are static) and deduplicated:
+    rounding can emit repeated t at large S/T ratios, which would waste model
+    evaluations on no-op steps."""
+    import numpy as _np
+
     S = min(num_inference_steps, num_timesteps)
-    ts = jnp.linspace(1.0, float(num_timesteps), S)
-    return jnp.round(ts).astype(jnp.int32)[::-1]
+    ts = _np.unique(_np.round(_np.linspace(1.0, float(num_timesteps), S)))
+    return jnp.asarray(ts[::-1].copy(), dtype=jnp.int32)
 
 
 def sample_loop_ddim(

@@ -61,6 +61,13 @@ def mesh_for_batch(batch_size: int,
     n = len(devices)
     while n > 1 and batch_size % n:
         n -= 1
+    if n < len(devices):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mesh_for_batch: batch_size=%d not divisible by %d devices; "
+            "using %d device(s)", batch_size, len(devices), n,
+        )
     return make_mesh(("data",), (n,), devices[:n])
 
 

@@ -84,7 +84,13 @@ class DiffusionPipeline:
     use_data_parallel: bool = True
 
     def __post_init__(self):
+        import threading
+
         self._compiled = {}
+        # serve.py drives one pipeline from ThreadingHTTPServer threads;
+        # guard the jit cache so concurrent first requests for the same
+        # sampler key compile once instead of racing
+        self._compile_lock = threading.Lock()
         self._mesh = None
         if self.use_data_parallel and len(jax.devices()) > 1:
             self._mesh = make_mesh(("data",))
@@ -136,6 +142,13 @@ class DiffusionPipeline:
         """Build (and cache) the jitted scan+decode program."""
         key_ = (float(guidance_scale), decode, snapshots, method,
                 int(num_inference_steps), float(eta))
+        with self._compile_lock:
+            return self._sampler_locked(key_, guidance_scale, decode,
+                                        snapshots, method,
+                                        num_inference_steps, eta)
+
+    def _sampler_locked(self, key_, guidance_scale, decode, snapshots,
+                        method, num_inference_steps, eta):
         if key_ in self._compiled:
             return self._compiled[key_]
 
@@ -292,6 +305,38 @@ class DiffusionPipeline:
         out = np.asarray(
             run(self.unet_params, None, x_init, jax.random.fold_in(key, 1),
                 jnp.zeros((x_shape[0],), jnp.int32), None, None)
+        )
+        return to_pil_list(out) if to_pil else out
+
+    def sample_cond(
+        self,
+        y,
+        x_shape: Tuple[int, int, int, int],
+        guidance_scale: float = 0.0,
+        key: Optional[jax.Array] = None,
+        to_pil: bool = False,
+    ):
+        """Class-conditional PIXEL-space sampling (``Diffuser.sample_cond``
+        parity, diff.py:165-172): the same CFG reverse scan as the latent
+        path, with no VAE decode. ``y`` is (B,) class ids (0 = null label);
+        ``x_shape`` is NHWC with ``x_shape[0] == len(y)``. The reference
+        returns the raw tensor, so ``to_pil`` defaults to False.
+
+        Note: the reference's ``guidance_scale == 0 ∧ y ≠ None`` path crashes
+        on an unbound ``eps`` (diff.py:146-156) — here scale 0 means "plain
+        conditional eps", the documented fix (SURVEY.md §7).
+        """
+        y = np.asarray(y, dtype=np.int32)
+        if y.shape[0] != x_shape[0]:
+            raise ValueError(
+                f"y has {y.shape[0]} labels for batch {x_shape[0]}"
+            )
+        key = key if key is not None else jax.random.PRNGKey(0)
+        x_init = jax.random.normal(key, x_shape, dtype=jnp.float32)
+        run = self._sampler(guidance_scale, False, snapshots=False)
+        out = np.asarray(
+            run(self.unet_params, None, x_init, jax.random.fold_in(key, 1),
+                jnp.asarray(y), None, None)
         )
         return to_pil_list(out) if to_pil else out
 

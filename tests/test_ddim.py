@@ -114,3 +114,17 @@ def test_pipeline_ddim(tmp_path):
     )
     assert imgs.shape == (3, 32, 32, 3)
     assert np.isfinite(imgs).all()
+
+
+def test_ddim_timesteps_dedupe_large_ratio():
+    """S close to T makes round(linspace) collide; duplicates must be
+    dropped so no model evaluation is spent on a no-op step."""
+    from diffusion_model_tpu.diffusion.sampling import ddim_timesteps
+
+    ts = np.asarray(ddim_timesteps(10, 9))
+    assert len(np.unique(ts)) == len(ts)
+    assert (np.diff(ts) < 0).all()          # strictly descending
+    assert ts[-1] == 1 and ts[0] == 10
+    # oversampling request degrades to the full unique schedule
+    ts2 = np.asarray(ddim_timesteps(8, 100))
+    assert ts2.tolist() == [8, 7, 6, 5, 4, 3, 2, 1]

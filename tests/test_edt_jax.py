@@ -1,4 +1,7 @@
-"""On-device jump-flooding EDT vs exact native EDT."""
+"""On-device jump-flooding EDT vs exact native EDT.
+
+All masks share one 32x32 shape so the JFA scan compiles once per entry
+point (the suite is CPU-compile-bound)."""
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -14,7 +17,7 @@ from diffusion_model_tpu.ops.edt_jax import (
 def test_edt_jax_matches_exact_on_random_masks():
     rng = np.random.default_rng(0)
     for _ in range(4):
-        mask = rng.random((48, 48)) < 0.05
+        mask = rng.random((32, 32)) < 0.05
         if not mask.any():
             mask[10, 10] = True
         ours = np.asarray(edt_jax(jnp.asarray(mask)))
@@ -33,7 +36,7 @@ def test_edt_jax_line_mask_exact():
 
 
 def test_edt_jax_empty_mask_sentinel():
-    out = np.asarray(edt_jax(jnp.zeros((8, 8), bool)))
+    out = np.asarray(edt_jax(jnp.zeros((32, 32), bool)))
     assert (out > 1e4).all()
 
 
@@ -41,8 +44,8 @@ def test_pair_metrics_jax_matches_host():
     from diffusion_model_tpu.eval import compute_metrics
 
     rng = np.random.default_rng(1)
-    gt = rng.random((40, 40)) < 0.08
-    pred = rng.random((40, 40)) < 0.08
+    gt = rng.random((32, 32)) < 0.08
+    pred = rng.random((32, 32)) < 0.08
     host = compute_metrics(gt, pred, sigma=2.0)
     dev = {k: float(v) for k, v in
            pair_metrics_jax(jnp.asarray(gt), jnp.asarray(pred), 2.0).items()}
@@ -56,8 +59,8 @@ def test_pair_metrics_jax_matches_host():
 
 
 def test_batch_pair_metrics_jax():
-    gt = np.zeros((3, 16, 16), bool)
-    gt[:, 8, 4:12] = True
+    gt = np.zeros((3, 32, 32), bool)
+    gt[:, 8, 4:24] = True
     pred = gt.copy()
     out = batch_pair_metrics_jax(jnp.asarray(gt), jnp.asarray(pred))
     np.testing.assert_allclose(np.asarray(out["iou"]), 1.0)

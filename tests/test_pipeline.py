@@ -139,3 +139,46 @@ def test_from_checkpoints_roundtrip(tiny_pipeline, tmp_path):
     b = pipe2.sample_latent_cond((1, 1), image_hw=(32, 32), to_pil=False,
                                  key=jax.random.PRNGKey(7))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sample_cond_pixel_space(tiny_pipeline):
+    """Diffuser.sample_cond parity (diff.py:165-172): class-conditional
+    sampling with NO vae decode; guidance_scale=0 must not crash (the
+    reference's unbound-eps bug is consciously fixed, SURVEY.md §7)."""
+    y = [1, 2, 3, 1]
+    out0 = tiny_pipeline.sample_cond(y, (4, 4, 4, 4), guidance_scale=0.0,
+                                     key=jax.random.PRNGKey(5))
+    assert out0.shape == (4, 4, 4, 4)
+    assert np.isfinite(out0).all()
+    # CFG path (2B batched forward) and the raw-vs-PIL surface
+    out3 = tiny_pipeline.sample_cond(y, (4, 4, 4, 4), guidance_scale=3.0,
+                                     key=jax.random.PRNGKey(5))
+    assert not np.allclose(out0, out3)  # guidance changes the trajectory
+    pil = tiny_pipeline.sample_cond([1], (1, 4, 4, 4), to_pil=False,
+                                    key=jax.random.PRNGKey(6))
+    assert pil.shape == (1, 4, 4, 4)
+    with pytest.raises(ValueError):
+        tiny_pipeline.sample_cond([1, 2], (3, 4, 4, 4))
+
+
+def test_sampler_cache_thread_safe(tiny_pipeline):
+    """Concurrent first-compiles for one sampler key must produce a single
+    cache entry (serve.py drives the pipeline from HTTP threads)."""
+    import threading
+
+    tiny_pipeline._compiled.clear()
+    fns, errs = [], []
+
+    def hit():
+        try:
+            fns.append(tiny_pipeline._sampler(7.0, False, False))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=hit) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(set(map(id, fns))) == 1
