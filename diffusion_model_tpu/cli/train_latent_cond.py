@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--image_size", type=int, nargs=2, default=(224, 224))
     ap.add_argument("--synthetic_root", type=str, default="./data")
     ap.add_argument("--synthetic_count", type=int, default=256)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel width over the mesh 'model' axis")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize at startup")
     return ap
 
 
@@ -54,6 +58,7 @@ def main(argv=None) -> None:
         model_para_dir=args.model_para_dir, result_root=args.result_root,
         seed=args.seed, bf16=not args.no_bf16,
         post_train_samples=args.post_train_samples,
+        tp=args.tp, distributed=args.distributed,
         data=DataConfig(
             train_items=parse_items(args.items),
             val_items=parse_items(args.val_items),

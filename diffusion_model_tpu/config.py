@@ -48,6 +48,9 @@ class VAETrainConfig:
     bf16: bool = True
     resume_dir: Optional[str] = None   # Orbax dir to resume from / save to
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    tp: int = 1                        # tensor-parallel width (model axis)
+    tp_min_dim: int = 256              # smallest feature dim worth sharding
+    distributed: bool = False          # jax.distributed.initialize at start
 
 
 @dataclasses.dataclass
@@ -73,6 +76,9 @@ class LatentTrainConfig:
     post_train_samples: int = 100  # sampled as class 1 after training
     resume_dir: Optional[str] = None   # Orbax dir to resume from / save to
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    tp: int = 1                        # tensor-parallel width (model axis)
+    tp_min_dim: int = 256              # smallest feature dim worth sharding
+    distributed: bool = False          # jax.distributed.initialize at start
 
 
 @dataclasses.dataclass

@@ -68,10 +68,15 @@ def resblock_reference(
 # ---------------------------------------------------------------------------
 
 def _shift_rows(a: jnp.ndarray, o: int) -> jnp.ndarray:
-    """Shift (N, C) rows down by o (o may be negative), zero-filling."""
+    """Shift (N, C) rows down by o (o may be negative), zero-filling.
+
+    |o| ≥ N shifts everything off the image (a 1×1 or 1×W activation at the
+    U-Net bottom): the tap is all zeros, matching SAME-conv semantics."""
     n, c = a.shape
     if o == 0:
         return a
+    if abs(o) >= n:
+        return jnp.zeros_like(a)
     pad = jnp.zeros((abs(o), c), a.dtype)
     if o > 0:
         return jnp.concatenate([pad, a[:-o]], axis=0)

@@ -4,6 +4,7 @@ from .mesh import (
     make_dp_tp_mesh,
     make_mesh,
     mesh_for_batch,
+    training_mesh,
     param_shardings,
     replicate,
     replicated,
@@ -13,6 +14,7 @@ from .mesh import (
 
 __all__ = [
     "mesh_for_batch",
+    "training_mesh",
     "batch_sharding",
     "initialize_distributed",
     "make_dp_tp_mesh",

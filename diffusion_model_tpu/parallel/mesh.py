@@ -81,6 +81,25 @@ def make_dp_tp_mesh(tp: int = 1,
     return make_mesh(("data", "model"), (n // tp, tp), devices)
 
 
+def training_mesh(batch_size: int, tp: int = 1, distributed: bool = False,
+                  devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """The mesh a trainer runs on: 1-D ``data`` mesh for pure DP, or a 2-D
+    ``(data, model)`` mesh when ``tp > 1``. ``distributed=True`` performs
+    multi-host init first (jax.distributed.initialize)."""
+    if distributed:
+        initialize_distributed()
+    if tp <= 1:
+        return mesh_for_batch(batch_size, devices)
+    mesh = make_dp_tp_mesh(tp, devices)
+    dp = mesh.devices.shape[0]
+    if batch_size % dp:
+        raise ValueError(
+            f"batch_size {batch_size} must divide by the data-parallel "
+            f"width {dp} ({mesh.devices.size} devices / tp={tp})"
+        )
+    return mesh
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis; replicate the rest."""
     return NamedSharding(mesh, P(axis))

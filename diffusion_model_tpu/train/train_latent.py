@@ -30,7 +30,7 @@ from ..data import LabelDataset, PrefetchLoader
 from ..data.synthetic import generate_all_classes
 from ..diffusion import DiffusionSchedule, q_sample
 from ..models import VAE, VAEConfig, CondUNet, UNetConfig
-from ..parallel import mesh_for_batch, shard_batch
+from ..parallel import replicate, shard_batch, shard_params, training_mesh
 from .checkpoints import load_params, save_params
 from .losses import masked_geom_mse
 from .recorder import MetricsLogger, record_result
@@ -358,7 +358,8 @@ def train_latent_cond(cfg: LatentTrainConfig,
     loaded from ``cfg.vae_ckpt``. Returns a summary dict."""
     import os
 
-    mesh = mesh_for_batch(cfg.batch_size)
+    mesh = training_mesh(cfg.batch_size, tp=cfg.tp,
+                         distributed=cfg.distributed)
     vae, unet = build_models(cfg)
     schedule = DiffusionSchedule.create(cfg.num_timesteps)
 
@@ -389,6 +390,19 @@ def train_latent_cond(cfg: LatentTrainConfig,
     rng = jax.random.PRNGKey(cfg.seed)
     ih, iw = cfg.data.image_size
     state = create_latent_state(rng, cfg, unet, (ih // 8, iw // 8))
+    if cfg.tp > 1:
+        # TP over the mesh's 'model' axis: shard the large kernels' output
+        # features, re-init the optimizer on the sharded params so Adam's
+        # moments inherit the same layout; the frozen VAE is replicated.
+        from flax.training import train_state as _ts
+
+        state = _ts.TrainState.create(
+            apply_fn=unet.apply,
+            params=shard_params(state.params, mesh,
+                                min_dim=cfg.tp_min_dim),
+            tx=optax.adam(cfg.lr),
+        )
+        vae_params = replicate(vae_params, mesh)
     if train_dev is not None:
         train_epoch_fn = make_latent_epoch_fn(
             unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda

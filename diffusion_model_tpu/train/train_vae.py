@@ -26,7 +26,7 @@ from ..config import VAETrainConfig
 from ..data import CaptionDataset, LabelDataset, PrefetchLoader
 from ..data.synthetic import generate_all_classes
 from ..models import VAE, VAEConfig
-from ..parallel import mesh_for_batch, shard_batch
+from ..parallel import shard_batch, shard_params, training_mesh
 from .checkpoints import save_params
 from .early_stopping import EarlyStopping
 from .recorder import MetricsLogger, save_train_val_loss_csv, save_train_val_loss_graph
@@ -214,7 +214,8 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
 
     from ..utils.env import timestamp_dir_name
 
-    mesh = mesh_for_batch(cfg.batch_size)
+    mesh = training_mesh(cfg.batch_size, tp=cfg.tp,
+                         distributed=cfg.distributed)
     train_ds, val_ds = _resolve_datasets(cfg)
 
     # device-resident data when it fits in HBM (indices-only steps);
@@ -233,6 +234,15 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
 
     rng = jax.random.PRNGKey(cfg.seed)
     model, state = create_vae_state(rng, cfg, cfg.data.image_size)
+    if cfg.tp > 1:
+        # shard large kernels over 'model'; re-init the optimizer so Adam
+        # moments inherit the sharded layout
+        state = train_state.TrainState.create(
+            apply_fn=model.apply,
+            params=shard_params(state.params, mesh,
+                                min_dim=cfg.tp_min_dim),
+            tx=optax.adam(cfg.lr),
+        )
     if train_dev is not None:
         train_epoch_fn = make_vae_epoch_fn(model)
     else:

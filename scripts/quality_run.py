@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--latent_lr", type=float, default=2e-4)
     ap.add_argument("--gen_count", type=int, default=200)
     ap.add_argument("--timesteps", type=int, default=1000)
+    ap.add_argument("--image_size", type=int, default=224,
+                    help="square image edge; 64 for the CPU-feasible torch-reference parity config (scripts/torch_reference_run.py)")
     args = ap.parse_args()
     if args.fast:
         args.train_count, args.val_count, args.test_count = 64, 16, 16
@@ -64,11 +66,13 @@ def main():
 
     # ---- data ----
     print("== rendering datasets ==", flush=True)
-    train_dirs = generate_all_classes("./data", args.train_count, seed=1)
+    hw = (args.image_size, args.image_size)
+    train_dirs = generate_all_classes("./data", args.train_count, seed=1,
+                                      image_size=hw)
     val_dirs = generate_all_classes("./data", args.val_count, seed=2,
-                                    suffix="_val")
+                                    suffix="_val", image_size=hw)
     test_dirs = generate_all_classes("./data", args.test_count, seed=3,
-                                     suffix="_test")
+                                     suffix="_test", image_size=hw)
     mk_items = lambda dirs: [
         (f"{d}/{os.path.basename(d)}.csv", d, cls) for cls, d in dirs.items()
     ]
@@ -78,7 +82,7 @@ def main():
     # ---- stage 1 ----
     t1 = time.time()
     data = DataConfig(train_items=mk_items(train_dirs),
-                      val_items=mk_items(val_dirs))
+                      val_items=mk_items(val_dirs), image_size=hw)
     rv = train_vae(VAETrainConfig(
         epochs=args.vae_epochs, data=data, save_dir="./vae",
     ))
@@ -107,7 +111,7 @@ def main():
         vae=rl["vae"], vae_params=rl["vae_params"],
         schedule=DiffusionSchedule.create(args.timesteps),
     )
-    sampler = CsvConditionSampler(pipe, class_id=1)
+    sampler = CsvConditionSampler(pipe, class_id=1, image_hw=hw)
     gen_root = "./generated_by_cond/quality"
     for cls, d in test_dirs.items():
         cname = CLASS_NAMES[cls]

@@ -291,3 +291,22 @@ def test_dispatchers_use_pallas_flag_in_interpret_mode():
     out2 = resblock(x, w, w, jnp.ones((8,)), jnp.zeros((8,)),
                     jnp.ones((8,)), jnp.zeros((8,)), use_pallas=True)
     assert out2.shape == x.shape
+
+
+@pytest.mark.parametrize("hw", [(1, 1), (2, 2), (1, 3)])
+def test_resblock_pallas_degenerate_spatial(hw):
+    """Shift offsets beyond the row count (dy*W+dx >= H*W) must zero the
+    tap, not mis-shape the im2col concat — the 64px config bottoms out at a
+    1x1 activation in down3 (regression: crashed on TPU at 64px)."""
+    H, W = hw
+    B, C = 2, 8
+    k = jax.random.PRNGKey(8)
+    x = jax.random.normal(k, (B, H, W, C))
+    w1 = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, C, C)) * 0.3
+    w2 = jax.random.normal(jax.random.fold_in(k, 2), (3, 3, C, C)) * 0.3
+    ones, zeros = jnp.ones((C,)), jnp.zeros((C,))
+    got = resblock_pallas(x, w1, w2, ones, zeros, ones, zeros, True, 1e-5)
+    want = resblock_reference(x, w1, w2, ones, zeros, ones, zeros,
+                              residual=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
