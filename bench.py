@@ -8,9 +8,18 @@ latents) INCLUDING the VAE decode to 224×224 images.
 Baseline denominator: the PyTorch reference measured on CPU in this image
 (B=8, torch 2.x, eager): 0.0110 images/sec — see BASELINE.md.
 
-Prints exactly one JSON line:
+Prints exactly one JSON line (the driver contract):
   {"metric": "cond_gen_images_per_sec", "value": N, "unit": "images/sec/chip",
    "vs_baseline": N / 0.0110, ...extras}
+
+``value`` is the MEAN over ``reps`` (default 5) timed runs after one
+compile+warmup run; min/max/std are reported so the headline is defensible
+against run-to-run variance (VERDICT r1 weak #4). ``tflops_per_sec`` comes
+from an analytic FLOP count of the whole program (2B CFG U-Net forwards ×
+T steps + whole-batch VAE decode).
+
+Env overrides: BENCH_BATCH (default 64), BENCH_REPS (default 5),
+BENCH_SWEEP=1 adds a batch sweep [32, 64, 128, 256] to the extras.
 """
 from __future__ import annotations
 
@@ -20,18 +29,96 @@ import time
 
 import jax
 
-# persistent compilation cache: the T=1000 scan costs ~3 min to compile
-# cold; cached reruns start in seconds
+# persistent compilation cache: the T=1000 scan costs minutes to compile
+# cold; cached reruns start in seconds (same-process only on axon)
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import jax.numpy as jnp
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 BASELINE_CPU_IMAGES_PER_SEC = 0.0110  # PyTorch reference, CPU, B=8 (BASELINE.md)
 
 
-def build_pipeline(batch: int):
+# ---------------------------------------------------------------------------
+# Analytic FLOPs (multiply-add = 2 FLOPs). Layer list mirrors
+# models/unet.py::CondUNet at base_ch=64 / latent 28×28 and
+# models/vae.py::Decoder at base 64 / 224×224 output.
+# ---------------------------------------------------------------------------
+
+def _conv(hw: int, cin: int, cout: int, k: int = 3) -> float:
+    return 2.0 * hw * k * k * cin * cout
+
+
+def _attn(T: int, C: int) -> float:
+    proj = 2.0 * T * C * (3 * C) + 2.0 * T * C * C      # qkv + out
+    scores = 2.0 * T * T * C * 2                        # qk^T and attn@v
+    ff = 2.0 * (2.0 * T * C * C)                        # two C→C dense
+    return proj + scores + ff
+
+
+def unet_fwd_flops(base_ch: int = 64, lat: int = 28, in_ch: int = 4) -> float:
+    """One CondUNet forward on ONE sample (B=1)."""
+    b = base_ch
+    # torch MaxPool floors odd sizes: 28 → 14 → 7 → 3
+    s1 = lat
+    s2, s3, s4 = s1 // 2, s1 // 2 // 2, max(1, s1 // 2 // 2 // 2)
+    h1, h2, h3, h4 = s1 * s1, s2 * s2, s3 * s3, s4 * s4
+    f = 0.0
+    f += _conv(h1, in_ch, b) + _conv(h1, b, b)                     # inc
+    f += 2 * _conv(h2, b, b) + _conv(h2, b, 2 * b) + _conv(h2, 2 * b, 2 * b)
+    f += _attn(h2, 2 * b)                                          # down1+sa1
+    f += 2 * _conv(h3, 2 * b, 2 * b) + _conv(h3, 2 * b, 4 * b) + \
+        _conv(h3, 4 * b, 4 * b)
+    f += _attn(h3, 4 * b)                                          # down2+sa2
+    f += 2 * _conv(h4, 4 * b, 4 * b) + 2 * _conv(h4, 4 * b, 4 * b)
+    f += _attn(h4, 4 * b)                                          # down3+sa3
+    f += _conv(h4, 4 * b, 8 * b) + _conv(h4, 8 * b, 8 * b)         # bot1
+    f += 2 * _conv(h4, 8 * b, 8 * b)                               # bot2
+    f += _conv(h4, 8 * b, 4 * b) + _conv(h4, 4 * b, 4 * b)         # bot3
+    f += 2 * _conv(h3, 8 * b, 8 * b) + _conv(h3, 8 * b, 4 * b) + \
+        _conv(h3, 4 * b, 2 * b)
+    f += _attn(h3, 2 * b)                                          # up1+sa4
+    f += 2 * _conv(h2, 4 * b, 4 * b) + _conv(h2, 4 * b, 2 * b) + \
+        _conv(h2, 2 * b, b)
+    f += _attn(h2, b)                                              # up2+sa5
+    f += 2 * _conv(h1, 2 * b, 2 * b) + _conv(h1, 2 * b, b) + _conv(h1, b, b)
+    f += _attn(h1, b)                                              # up3+sa6
+    f += _conv(h1, b, in_ch, k=1)                                  # out
+    return f
+
+
+def vae_decode_flops(base_ch: int = 64, lat: int = 28, z_ch: int = 4) -> float:
+    """One VAE decode z(lat²) → image(8·lat)² on ONE sample. A k4s2
+    ConvTranspose costs 2·H_in·W_in·16·Cin·Cout."""
+    b = base_ch
+    f = 0.0
+    hw = lat * lat
+    f += _conv(hw, z_ch, 4 * b)
+    f += 2.0 * hw * 16 * (4 * b) * (4 * b)          # up0
+    hw *= 4
+    f += _conv(hw, 4 * b, 2 * b)
+    f += 2.0 * hw * 16 * (2 * b) * (2 * b)          # up1
+    hw *= 4
+    f += _conv(hw, 2 * b, b)
+    f += 2.0 * hw * 16 * b * b                      # up2
+    hw *= 4
+    f += _conv(hw, b, 3)                            # out
+    return f
+
+
+def run_flops(batch: int, timesteps: int = 1000, guidance: bool = True) -> float:
+    """Total FLOPs of one benchmark run: T steps × (2B if CFG else B) U-Net
+    forwards + B decodes."""
+    mult = 2 if guidance else 1
+    return (timesteps * mult * batch * unet_fwd_flops()
+            + batch * vae_decode_flops())
+
+
+# ---------------------------------------------------------------------------
+
+def build_pipeline():
     from diffusion_model_tpu.diffusion import DiffusionSchedule
     from diffusion_model_tpu.models import (
         VAE, VAEConfig, CondUNet, UNetConfig,
@@ -60,41 +147,73 @@ def build_pipeline(batch: int):
     )
 
 
-def main():
-    batch = 64
-    pipe = build_pipeline(batch)
-    key = jax.random.PRNGKey(1)
-
+def time_batch(pipe, batch: int, reps: int, key) -> dict:
     def run(k):
         return pipe.sample_latent_cond(
             (1, batch), guidance_scale=3.0, key=k, to_pil=False,
             image_hw=(224, 224),
         )
 
-    # compile + warmup
     t0 = time.time()
-    run(key)
+    run(key)  # compile + warmup
     compile_s = time.time() - t0
 
-    reps = 3
-    t0 = time.time()
+    times = []
     for i in range(reps):
+        t0 = time.time()
         run(jax.random.fold_in(key, i + 2))
-    elapsed = (time.time() - t0) / reps
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    return {
+        "batch": batch,
+        "compile_s": round(compile_s, 1),
+        "run_s_mean": round(float(times.mean()), 3),
+        "run_s_min": round(float(times.min()), 3),
+        "run_s_max": round(float(times.max()), 3),
+        "run_s_std": round(float(times.std()), 3),
+        "ips_mean": round(batch / float(times.mean()), 3),
+        "ips_best": round(batch / float(times.min()), 3),
+    }
 
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    sweep = os.environ.get("BENCH_SWEEP", "0") == "1"
+
+    pipe = build_pipeline()
+    key = jax.random.PRNGKey(1)
     n_chips = max(1, len(jax.devices()))
-    ips_per_chip = batch / elapsed / n_chips
+
+    head = time_batch(pipe, batch, reps, key)
+    ips = head["ips_mean"] / n_chips
+    tflops = run_flops(batch) / (head["run_s_mean"] * 1e12) / n_chips
+
+    extras = {}
+    if sweep:
+        extras["sweep"] = [
+            time_batch(pipe, b, max(2, reps // 2), jax.random.fold_in(key, b))
+            for b in (32, 64, 128, 256)
+        ]
+
     print(json.dumps({
         "metric": "cond_gen_images_per_sec",
-        "value": round(ips_per_chip, 3),
+        "value": round(ips, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips_per_chip / BASELINE_CPU_IMAGES_PER_SEC, 1),
+        "vs_baseline": round(ips / BASELINE_CPU_IMAGES_PER_SEC, 1),
         "batch": batch,
         "num_timesteps": 1000,
         "guidance_scale": 3.0,
         "chips": n_chips,
-        "compile_s": round(compile_s, 1),
-        "run_s": round(elapsed, 2),
+        "reps": reps,
+        "compile_s": head["compile_s"],
+        "run_s_mean": head["run_s_mean"],
+        "run_s_min": head["run_s_min"],
+        "run_s_std": head["run_s_std"],
+        "ips_best": round(head["ips_best"] / n_chips, 3),
+        "tflops_per_sec": round(tflops, 2),
+        "analytic_tflops_per_run": round(run_flops(batch) / 1e12, 2),
+        **extras,
     }))
 
 
