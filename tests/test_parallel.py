@@ -135,8 +135,10 @@ def test_trainer_tp_path_shards_params(tmp_path, monkeypatch):
     from diffusion_model_tpu.models import VAE as FVAE, VAEConfig as FVAEConfig
 
     cfg = LatentTrainConfig(
+        # val_interval > epochs: the eval epoch-fn is never called, saving
+        # its 8-way SPMD compile (validation is covered by other tests)
         epochs=1, batch_size=8, num_timesteps=4, base_ch=8, time_dim=32,
-        vae_base_channels=8, bf16=False, val_interval=1,
+        vae_base_channels=8, bf16=False, val_interval=5,
         post_train_samples=0, tp=2, tp_min_dim=32,
         data=__import__("diffusion_model_tpu.config",
                         fromlist=["DataConfig"]).DataConfig(
