@@ -149,9 +149,12 @@ def build_pipeline():
 
 def time_batch(pipe, batch: int, reps: int, key) -> dict:
     def run(k):
+        # quantize=True: uint8 conversion on device — the production save
+        # path's output format (reverse_to_img parity) and 4× less
+        # device→host transfer than f32 images
         return pipe.sample_latent_cond(
             (1, batch), guidance_scale=3.0, key=k, to_pil=False,
-            image_hw=(224, 224),
+            image_hw=(224, 224), quantize=True,
         )
 
     t0 = time.time()

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from ..utils.env import pallas_interpret, pallas_supported
-from .kernel_math import gelu_exact
+from .kernel_math import gelu_exact, rows_per_step
 
 PARAM_KEYS = (
     "ln_scale", "ln_bias", "qkv_w", "qkv_b", "out_w", "out_b",
@@ -126,8 +126,11 @@ def attention_block_reference(
 def _attn_kernel(x_ref, *refs, num_heads: int):
     param_refs, o_ref = refs[:-1], refs[-1]
     p = {k: r[:] for k, r in zip(PARAM_KEYS, param_refs)}
-    out = _block_math(x_ref[0], p, num_heads, kernel=True)
-    o_ref[0] = out.astype(o_ref.dtype)
+    # R rows per grid step (static unroll) — amortizes the fixed
+    # per-grid-step cost, which dominates these µs-scale token counts.
+    for r in range(x_ref.shape[0]):
+        out = _block_math(x_ref[r], p, num_heads, kernel=True)
+        o_ref[r] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -135,10 +138,14 @@ def _attention_pallas_jit(
     x: jnp.ndarray, params: Dict[str, jnp.ndarray], num_heads: int,
     interpret: bool,
 ) -> jnp.ndarray:
-    """Pallas fused block: grid over batch, whole (T, C) row + params in VMEM."""
+    """Pallas fused block: grid over batch rows, (R, T, C) + params in VMEM."""
     B, T, C = x.shape
     plist = [params[k] for k in PARAM_KEYS]
-    in_specs = [pl.BlockSpec((1, T, C), lambda i: (i, 0, 0))]
+    act_bytes = 2 if x.dtype == jnp.bfloat16 else 4
+    # per-row working set: x + qkv (3C) + per-head f32 scores (T×T)
+    row_bytes = T * (4 * C * act_bytes) + T * T * 4
+    R = rows_per_step(B, row_bytes)
+    in_specs = [pl.BlockSpec((R, T, C), lambda i: (i, 0, 0))]
     for a in plist:
         in_specs.append(
             pl.BlockSpec(a.shape, (lambda i, n=a.ndim: (0,) * n))
@@ -146,9 +153,9 @@ def _attention_pallas_jit(
     out = pl.pallas_call(
         functools.partial(_attn_kernel, num_heads=num_heads),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(B,),
+        grid=(B // R,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, T, C), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((R, T, C), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(x, *plist)
     return out

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from ..utils.env import pallas_interpret, pallas_supported
-from .kernel_math import gelu_exact
+from .kernel_math import gelu_exact, rows_per_step
 
 
 def group_norm_reference(
@@ -52,39 +52,40 @@ def group_norm_reference(
 
 def _gn_kernel(x_ref, w_ref, b_ref, o_ref, *, num_groups: int, eps: float,
                apply_gelu: bool):
-    """One batch row per grid step: x_ref is (1, HW, C) in VMEM.
+    """R batch rows per grid step: x_ref is (R, HW, C) in VMEM.
 
     Mosaic cannot reshape the lane (channel) dimension, so grouped statistics
-    are computed with a (C, G) one-hot assignment matmul instead of a
-    (HW, G, C/G) reshape: per-channel sums reduce over sublanes, the matmul
-    folds channels into groups, and the transpose scatters group stats back
-    to channels. Everything stays 2D and MXU/VPU friendly.
+    are computed with static lane slices per group: per-group scalar
+    mean/variance via full reductions, scattered back to channels by
+    concatenation. Everything stays 2D and MXU/VPU friendly; the R-row loop
+    is a static unroll that amortizes the fixed per-grid-step cost.
     """
-    x = x_ref[0].astype(jnp.float32)  # (HW, C)
-    hw, c = x.shape
     g = num_groups
-    cg = c // g
-    n = float(hw * cg)
+    w = w_ref[:].astype(jnp.float32)
+    b = b_ref[:].astype(jnp.float32)
+    for r in range(x_ref.shape[0]):
+        x = x_ref[r].astype(jnp.float32)  # (HW, C)
+        hw, c = x.shape
+        cg = c // g
+        n = float(hw * cg)
 
-    # Exact f32 VPU reductions per group via static lane slices (G ≤ 8);
-    # two-pass mean/variance for stability.
-    mean_parts, rstd_parts = [], []
-    for gi in range(g):
-        sl = x[:, gi * cg:(gi + 1) * cg]
-        m = jnp.sum(sl) / n
-        var = jnp.sum(jnp.square(sl - m)) / n
-        mean_parts.append(jnp.full((1, cg), m, jnp.float32))
-        rstd_parts.append(jnp.full((1, cg), jax.lax.rsqrt(var + eps),
-                                   jnp.float32))
-    mean_c = jnp.concatenate(mean_parts, axis=1)  # (1, C)
-    rstd_c = jnp.concatenate(rstd_parts, axis=1)
+        # Exact f32 VPU reductions per group via static lane slices (G ≤ 8);
+        # two-pass mean/variance for stability.
+        mean_parts, rstd_parts = [], []
+        for gi in range(g):
+            sl = x[:, gi * cg:(gi + 1) * cg]
+            m = jnp.sum(sl) / n
+            var = jnp.sum(jnp.square(sl - m)) / n
+            mean_parts.append(jnp.full((1, cg), m, jnp.float32))
+            rstd_parts.append(jnp.full((1, cg), jax.lax.rsqrt(var + eps),
+                                       jnp.float32))
+        mean_c = jnp.concatenate(mean_parts, axis=1)  # (1, C)
+        rstd_c = jnp.concatenate(rstd_parts, axis=1)
 
-    out = (x - mean_c) * rstd_c * w_ref[:].astype(jnp.float32) + b_ref[
-        :
-    ].astype(jnp.float32)
-    if apply_gelu:
-        out = gelu_exact(out)  # Mosaic can't lower erf; poly-erf GELU
-    o_ref[0] = out.astype(o_ref.dtype)
+        out = (x - mean_c) * rstd_c * w + b
+        if apply_gelu:
+            out = gelu_exact(out)  # Mosaic can't lower erf; poly-erf GELU
+        o_ref[r] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -106,18 +107,23 @@ def _group_norm_pallas_jit(
     """
     B, H, W, C = x.shape
     xf = x.reshape(B, H * W, C)
+    # Mosaic pads the lane (channel) dim to 128, so temporaries of a
+    # narrow-C row really occupy HW × roundup(C, 128) lanes; ~5 such f32
+    # temps are live at once (x cast, centered, group-slice chain, out).
+    c_pad = -(-C // 128) * 128
+    R = rows_per_step(B, H * W * c_pad * 4 * 5)
     out = pl.pallas_call(
         functools.partial(
             _gn_kernel, num_groups=num_groups, eps=eps, apply_gelu=apply_gelu
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        grid=(B,),
+        grid=(B // R,),
         in_specs=[
-            pl.BlockSpec((1, H * W, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((R, H * W, C), lambda i: (i, 0, 0)),
             pl.BlockSpec((C,), lambda i: (0,)),
             pl.BlockSpec((C,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, H * W, C), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((R, H * W, C), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(xf, weight, bias)
     return out.reshape(B, H, W, C)
@@ -167,6 +173,9 @@ group_norm_pallas.defvjp(_gn_fwd, _gn_bwd)
 # temporaries (cast, centered, squared, per-group parts); beyond this row
 # budget (VAE-resolution activations like 224²×64) route to XLA, which tiles
 # the chain fine. 1 MB covers every U-Net stage and the deepest VAE stage.
+# The budget is checked against LANE-PADDED bytes (channels round up to 128
+# in Mosaic), so narrow-C rows at large HW — e.g. a base_ch=16 VAE at 224²,
+# (HW=12544, C=16) — route to XLA instead of OOMing scoped VMEM.
 _VMEM_ROW_BUDGET = 1024 * 1024
 
 
@@ -184,7 +193,7 @@ def group_norm(
     if use_pallas is None:
         use_pallas = pallas_supported()
     B, H, W, C = x.shape
-    if H * W * C * 4 > _VMEM_ROW_BUDGET:
+    if H * W * (-(-C // 128) * 128) * 4 > _VMEM_ROW_BUDGET:
         use_pallas = False
     if use_pallas:
         return group_norm_pallas(

@@ -30,3 +30,18 @@ def erf_poly(x: jnp.ndarray) -> jnp.ndarray:
 def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     """Exact-GELU (erf form) usable inside Pallas kernels."""
     return 0.5 * x * (1.0 + erf_poly(x * 0.7071067811865476))
+
+
+def rows_per_step(batch: int, row_bytes: int,
+                  budget: int = 4 * 1024 * 1024, cap: int = 16) -> int:
+    """How many batch rows one Pallas grid step should process.
+
+    The fused kernels' per-row math is tiny (µs) next to the fixed
+    per-grid-step cost, so grids of one row per step leave throughput flat
+    in batch; packing R rows per step amortizes the overhead. R is bounded
+    by a VMEM working-set budget per step and must divide the batch (the
+    BlockSpec tiling is uniform)."""
+    r = max(1, min(cap, budget // max(row_bytes, 1), batch))
+    while batch % r:
+        r -= 1
+    return r

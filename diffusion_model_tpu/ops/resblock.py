@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 
 from ..utils.env import pallas_interpret, pallas_supported
 from .groupnorm import group_norm_reference
-from .kernel_math import gelu_exact
+from .kernel_math import gelu_exact, rows_per_step
 
 
 # ---------------------------------------------------------------------------
@@ -83,22 +83,31 @@ def _shift_rows(a: jnp.ndarray, o: int) -> jnp.ndarray:
     return jnp.concatenate([a[-o:], pad], axis=0)
 
 
-def _conv3x3_flat(x: jnp.ndarray, w: jnp.ndarray, W: int,
+def _stack_taps(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) → (9·Cin, Cout) weight stack in kernel tap order.
+
+    Built OUTSIDE the kernel (loop-invariant; XLA hoists it out of the
+    sampling scan) so each grid step does zero weight shuffling."""
+    rows = [w[1 - dy, 1 - dx] for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _conv3x3_flat(x: jnp.ndarray, wmat: jnp.ndarray, W: int,
                   col: jnp.ndarray, dt) -> jnp.ndarray:
     """3×3 SAME conv on a flattened (H·W, Cin) image via 9 shifted matmuls.
 
     ``col`` is (H·W, 1) column ids. Cross-correlation semantics:
     out(y,x) = Σ_{ky,kx} x(y+ky−1, x+kx−1)·W[ky,kx]. Shifting the flat image
     DOWN by dy·W + dx makes row p read x(y−dy, x−dx), which pairs with
-    weight tap W[1−dy, 1−dx]; column masks zero the row-wraparound at the
-    left/right image edges.
+    weight tap W[1−dy, 1−dx] (``wmat`` is pre-stacked in that order by
+    ``_stack_taps``); column masks zero the row-wraparound at the left/right
+    image edges.
 
     The nine taps are lane-concatenated into one (H·W, 9·Cin) im2col block
-    and contracted with the matching (9·Cin, Cout) weight stack in a single
-    MXU matmul — one big matmul beats nine small ones on the systolic array.
+    and contracted with the (9·Cin, Cout) weight stack in a single MXU
+    matmul — one big matmul beats nine small ones on the systolic array.
     """
     taps = []
-    wrows = []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             src = _shift_rows(x, dy * W + dx)
@@ -107,10 +116,9 @@ def _conv3x3_flat(x: jnp.ndarray, w: jnp.ndarray, W: int,
             elif dx == -1:
                 src = jnp.where(col == W - 1, jnp.zeros_like(src), src)
             taps.append(src.astype(dt))
-            wrows.append(w[1 - dy, 1 - dx].astype(dt))  # (Cin, Cout)
     im2col = jnp.concatenate(taps, axis=1)        # (HW, 9·Cin)
-    wmat = jnp.concatenate(wrows, axis=0)         # (9·Cin, Cout)
-    return jnp.dot(im2col, wmat, preferred_element_type=jnp.float32)  # f32
+    return jnp.dot(im2col, wmat.astype(dt),
+                   preferred_element_type=jnp.float32)  # f32
 
 
 def _gn1_gelu(h: jnp.ndarray, scale, bias, eps: float,
@@ -127,18 +135,21 @@ def _gn1_gelu(h: jnp.ndarray, scale, bias, eps: float,
 def _resblock_kernel(x_ref, w1_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref,
                      o_ref, *, W: int, residual: bool, eps: float,
                      bf16: bool):
-    x = x_ref[0]  # (HW, Cin)
+    # R rows per grid step (static unroll): the per-row math is tiny next to
+    # the fixed per-grid-step cost (scalar setup + DMA turnaround), so
+    # batching rows into one invocation is the main batch-throughput lever.
     dt = jnp.bfloat16 if bf16 else jnp.float32
-    hw = x.shape[0]
+    hw = x_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) % W
-
-    h = _conv3x3_flat(x, w1_ref[:], W, col, dt)
-    h = _gn1_gelu(h, s1_ref[:], b1_ref[:], eps, gelu=True)
-    h = _conv3x3_flat(h.astype(dt), w2_ref[:], W, col, dt)
-    h = _gn1_gelu(h, s2_ref[:], b2_ref[:], eps, gelu=False)
-    if residual:
-        h = gelu_exact(x.astype(jnp.float32) + h)
-    o_ref[0] = h.astype(o_ref.dtype)
+    for r in range(x_ref.shape[0]):
+        x = x_ref[r]  # (HW, Cin)
+        h = _conv3x3_flat(x, w1_ref[:], W, col, dt)
+        h = _gn1_gelu(h, s1_ref[:], b1_ref[:], eps, gelu=True)
+        h = _conv3x3_flat(h.astype(dt), w2_ref[:], W, col, dt)
+        h = _gn1_gelu(h, s2_ref[:], b2_ref[:], eps, gelu=False)
+        if residual:
+            h = gelu_exact(x.astype(jnp.float32) + h)
+        o_ref[r] = h.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("residual", "eps", "interpret"))
@@ -151,23 +162,33 @@ def _resblock_pallas_jit(
     cout = w2.shape[-1]
     bf16 = x.dtype == jnp.bfloat16
     xf = x.reshape(B, H * W, Cin)
+    w1m = _stack_taps(w1)  # (9·Cin, cmid)
+    w2m = _stack_taps(w2)  # (9·cmid, cout)
+    # Working set per row: the two im2col blocks dominate (9·C lanes each);
+    # activations and the f32 accumulator ride along.
+    act_bytes = 2 if bf16 else 4
+    row_bytes = H * W * (
+        9 * max(Cin, cmid) * act_bytes + (Cin + cmid) * act_bytes
+        + max(cmid, cout) * 4
+    )
+    R = rows_per_step(B, row_bytes)
     out = pl.pallas_call(
         functools.partial(_resblock_kernel, W=W, residual=residual,
                           eps=eps, bf16=bf16),
         out_shape=jax.ShapeDtypeStruct((B, H * W, cout), x.dtype),
-        grid=(B,),
+        grid=(B // R,),
         in_specs=[
-            pl.BlockSpec((1, H * W, Cin), lambda i: (i, 0, 0)),
-            pl.BlockSpec((3, 3, Cin, cmid), lambda i: (0, 0, 0, 0)),
-            pl.BlockSpec((3, 3, cmid, cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((R, H * W, Cin), lambda i: (i, 0, 0)),
+            pl.BlockSpec((9 * Cin, cmid), lambda i: (0, 0)),
+            pl.BlockSpec((9 * cmid, cout), lambda i: (0, 0)),
             pl.BlockSpec((cmid,), lambda i: (0,)),
             pl.BlockSpec((cmid,), lambda i: (0,)),
             pl.BlockSpec((cout,), lambda i: (0,)),
             pl.BlockSpec((cout,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, H * W, cout), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((R, H * W, cout), lambda i: (i, 0, 0)),
         interpret=interpret,
-    )(xf, w1, w2, gn1_scale, gn1_bias, gn2_scale, gn2_bias)
+    )(xf, w1m, w2m, gn1_scale, gn1_bias, gn2_scale, gn2_bias)
     return out.reshape(B, H, W, cout)
 
 

@@ -61,8 +61,13 @@ def normalize_class_counts(cc: ClassCounts) -> List[Tuple[int, int]]:
 
 
 def to_uint8(images: np.ndarray) -> np.ndarray:
-    """[0,1] float images → uint8 (diff.py:58-64 reverse_to_img)."""
-    return np.clip(np.asarray(images) * 255.0, 0, 255).astype(np.uint8)
+    """[0,1] float images → uint8 (diff.py:58-64 reverse_to_img).
+
+    Arrays already quantized on device pass through unchanged."""
+    arr = np.asarray(images)
+    if arr.dtype == np.uint8:
+        return arr
+    return np.clip(arr * 255.0, 0, 255).astype(np.uint8)
 
 
 def to_pil_list(images: np.ndarray) -> list:
@@ -82,6 +87,10 @@ class DiffusionPipeline:
     vae_params: Optional[dict]
     schedule: DiffusionSchedule
     use_data_parallel: bool = True
+    # decode the final latents in fixed chunks of this many images inside
+    # the jit (0 = whole batch); bounds 224² decoder intermediates at large
+    # batches — see _decode
+    decode_chunk: int = 32
 
     def __post_init__(self):
         import threading
@@ -138,17 +147,37 @@ class DiffusionPipeline:
 
     def _sampler(self, guidance_scale: float, decode: bool, snapshots: bool,
                  method: str = "ddpm", num_inference_steps: int = 0,
-                 eta: float = 0.0):
+                 eta: float = 0.0, quantize: bool = False):
         """Build (and cache) the jitted scan+decode program."""
         key_ = (float(guidance_scale), decode, snapshots, method,
-                int(num_inference_steps), float(eta))
+                int(num_inference_steps), float(eta), quantize,
+                int(self.decode_chunk))
         with self._compile_lock:
             return self._sampler_locked(key_, guidance_scale, decode,
                                         snapshots, method,
-                                        num_inference_steps, eta)
+                                        num_inference_steps, eta, quantize)
+
+    def _decode(self, vae_params, zf):
+        """VAE decode inside the sampling jit, optionally in fixed-size
+        chunks via ``lax.map`` (``decode_chunk``).
+
+        Chunking bounds the decoder's 224²-resolution intermediates: at
+        large batches XLA's whole-batch decode loses more to HBM pressure
+        than the scan's sequential chunks cost (measured in
+        docs/PERFORMANCE.md batch-scaling notes)."""
+        dec = lambda z: self.vae.apply(
+            {"params": vae_params}, z, method=VAE.decode
+        )
+        B = zf.shape[0]
+        c = self.decode_chunk
+        if c <= 0 or B <= c or B % c != 0:
+            return dec(zf)
+        zc = zf.reshape((B // c, c) + zf.shape[1:])
+        out = jax.lax.map(dec, zc)
+        return out.reshape((B,) + out.shape[2:])
 
     def _sampler_locked(self, key_, guidance_scale, decode, snapshots,
-                        method, num_inference_steps, eta):
+                        method, num_inference_steps, eta, quantize):
         if key_ in self._compiled:
             return self._compiled[key_]
 
@@ -176,11 +205,13 @@ class DiffusionPipeline:
                 )
                 snaps = None
             if decode and self.vae is not None:
-                out = self.vae.apply(
-                    {"params": vae_params}, zf, method=VAE.decode
-                )
+                out = self._decode(vae_params, zf)
             else:
                 out = zf
+            if quantize:
+                # uint8 on device (reverse_to_img semantics, diff.py:58-64):
+                # 4× less device→host transfer than f32 images
+                out = jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)
             return (out, snaps) if snapshots else out
 
         jitted = jax.jit(run, static_argnames=())
@@ -211,6 +242,7 @@ class DiffusionPipeline:
         method: str = "ddpm",
         num_inference_steps: int = 0,
         eta: float = 0.0,
+        quantize: Optional[bool] = None,
     ):
         """Conditional latent generation (diff.py:174-369 parity).
 
@@ -219,9 +251,14 @@ class DiffusionPipeline:
         ``method="ddim"`` switches to the strided DDIM sampler with
         ``num_inference_steps`` model evaluations (default 50) — a
         beyond-reference fast path.
-        Returns PIL images (default), float images (``to_pil=False``) or raw
-        latents (``decode=False``).
+        ``quantize`` converts decoded images to uint8 ON DEVICE (default:
+        whenever the caller only needs uint8, i.e. ``to_pil and decode``) —
+        4× less device→host transfer.
+        Returns PIL images (default), float/uint8 images (``to_pil=False``)
+        or raw latents (``decode=False``).
         """
+        if quantize is None:
+            quantize = bool(decode and to_pil)
         items = normalize_class_counts(class_counts)
         y_list: List[int] = []
         for cls_id, n in items:
@@ -233,7 +270,8 @@ class DiffusionPipeline:
         key = key if key is not None else jax.random.PRNGKey(0)
         run = self._sampler(guidance_scale, decode, snapshots=False,
                             method=method,
-                            num_inference_steps=num_inference_steps, eta=eta)
+                            num_inference_steps=num_inference_steps, eta=eta,
+                            quantize=quantize)
 
         chunks = []
         step = batch_size if batch_size > 0 else B

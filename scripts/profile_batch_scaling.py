@@ -61,11 +61,11 @@ def build(timesteps: int):
     )
 
 
-def timed(pipe, batch, reps, guidance, decode, key):
+def timed(pipe, batch, reps, guidance, decode, key, quantize=False):
     def run(k):
         return pipe.sample_latent_cond(
             (1, batch), guidance_scale=guidance, key=k, to_pil=False,
-            decode=decode, image_hw=(224, 224),
+            decode=decode, image_hw=(224, 224), quantize=quantize,
         )
 
     t0 = time.time()
@@ -104,6 +104,9 @@ def main():
         row = {"A_full": timed(pipe, b, args.reps, 3.0, True,
                                jax.random.fold_in(key, b))}
         if not args.skip_ablations:
+            row["A_quantized"] = timed(pipe, b, args.reps, 3.0, True,
+                                       jax.random.fold_in(key, b),
+                                       quantize=True)
             row["B_no_decode"] = timed(pipe, b, args.reps, 3.0, False,
                                        jax.random.fold_in(key, b + 1))
             row["C_no_cfg"] = timed(pipe, b, args.reps, 0.0, True,
@@ -112,8 +115,6 @@ def main():
         print(json.dumps({f"batch_{b}": row}), flush=True)
 
     if args.trace_dir:
-        import jax.profiler
-
         short = build(50)
         bmax = max(args.batches)
         short.sample_latent_cond((1, bmax), guidance_scale=3.0,

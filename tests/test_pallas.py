@@ -310,3 +310,62 @@ def test_resblock_pallas_degenerate_spatial(hw):
                               residual=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# multi-row grid steps (batch-throughput lever; VERDICT r1 weak #5)
+# ---------------------------------------------------------------------------
+
+def test_rows_per_step_divides_batch():
+    from diffusion_model_tpu.ops.kernel_math import rows_per_step
+
+    # respects the VMEM budget
+    assert rows_per_step(32, row_bytes=1024 * 1024,
+                         budget=4 * 1024 * 1024) == 4
+    # always divides the batch, including primes
+    assert rows_per_step(7, row_bytes=1) == 7
+    assert rows_per_step(12, row_bytes=1024 * 1024,
+                         budget=5 * 1024 * 1024) == 4
+    # never exceeds cap or batch
+    assert rows_per_step(64, row_bytes=1) == 16
+    assert rows_per_step(2, row_bytes=1) == 2
+    # degenerate budget still yields a valid grid
+    assert rows_per_step(9, row_bytes=10**9) == 1
+
+
+@pytest.mark.parametrize("B", [1, 3, 8])
+def test_multirow_kernels_match_single_row_math(B):
+    """Parity must hold for any batch size: grids pack R rows per step with
+    R an automatically chosen divisor of B (kernel_math.rows_per_step)."""
+    k = jax.random.PRNGKey(11)
+    C = 8
+    x = jax.random.normal(k, (B, 4, 4, C))
+    w1 = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, C, C)) * 0.3
+    w2 = jax.random.normal(jax.random.fold_in(k, 2), (3, 3, C, C)) * 0.3
+    ones, zeros = jnp.ones((C,)), jnp.zeros((C,))
+    got = resblock_pallas(x, w1, w2, ones, zeros, ones, zeros, False, 1e-5)
+    want = resblock_reference(x, w1, w2, ones, zeros, ones, zeros)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    got_gn = group_norm_pallas(x, ones, zeros, 2)
+    want_gn = group_norm_reference(x, ones, zeros, 2)
+    np.testing.assert_allclose(np.asarray(got_gn), np.asarray(want_gn),
+                               rtol=2e-5, atol=2e-5)
+
+    T, C2 = 16, 8
+    tok = jax.random.normal(jax.random.fold_in(k, 3), (B, T, C2))
+    p = {}
+    for i, name in enumerate(PARAM_KEYS):
+        kk = jax.random.fold_in(k, 10 + i)
+        if name.endswith("_w"):
+            shape = (C2, 3 * C2) if name == "qkv_w" else (C2, C2)
+            p[name] = jax.random.normal(kk, shape) * 0.2
+        elif name == "qkv_b":
+            p[name] = jax.random.normal(kk, (3 * C2,)) * 0.1
+        else:
+            p[name] = jax.random.normal(kk, (C2,)) * 0.1
+    got_at = attention_block_pallas(tok, p, 4)
+    want_at = attention_block_reference(tok, p, 4)
+    np.testing.assert_allclose(np.asarray(got_at), np.asarray(want_at),
+                               rtol=2e-5, atol=2e-5)

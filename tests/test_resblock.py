@@ -54,7 +54,7 @@ def test_resblock_reference_matches_torch(residual):
 def test_conv_via_shifts_matches_lax_conv():
     """The kernel's flat-shift + column-mask conv math, executed as plain
     jnp on CPU, must equal lax.conv exactly."""
-    from diffusion_model_tpu.ops.resblock import _conv3x3_flat
+    from diffusion_model_tpu.ops.resblock import _conv3x3_flat, _stack_taps
 
     rng = np.random.default_rng(1)
     B, H, W, Cin, Cout = 2, 6, 5, 4, 8
@@ -67,10 +67,11 @@ def test_conv_via_shifts_matches_lax_conv():
         preferred_element_type=jnp.float32,
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (H * W, 1), 0) % W
+    wmat = _stack_taps(jnp.asarray(w))
     with jax.default_matmul_precision("highest"):
         for b in range(B):
             out = _conv3x3_flat(jnp.asarray(x[b].reshape(H * W, Cin)),
-                                jnp.asarray(w), W, col, jnp.float32)
+                                wmat, W, col, jnp.float32)
             np.testing.assert_allclose(
                 np.asarray(out).reshape(H, W, Cout), np.asarray(ref[b]),
                 rtol=1e-4, atol=1e-5,
