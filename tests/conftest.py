@@ -22,6 +22,17 @@ import jax  # noqa: E402
 # API so tests run on the virtual 8-device host mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is XLA-compile-bound on one CPU
+# core (~17 min cold); cached re-runs roughly halve it. The cache works on
+# the CPU backend (unlike the axon remote AOT compiler) and lives outside
+# the repo tree.
+_cache = os.environ.get("JAX_TEST_CACHE_DIR",
+                        os.path.join(os.path.dirname(__file__), "..",
+                                     ".jax_test_cache"))
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 

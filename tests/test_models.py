@@ -52,26 +52,27 @@ def test_vae_latent_scale_factor(vae_small):
 
 @pytest.fixture(scope="module")
 def unet_geom():
+    """Model + params + ONE jitted B=2 apply reused by every test in this
+    module (the un-jitted per-op dispatch was the suite's slowest setup)."""
     model = make_unet_cond_with_geom_head(base_ch=16, time_dim=64)
     key = jax.random.PRNGKey(0)
-    x = jnp.zeros((2, 28, 28, 4))
-    t = jnp.array([1, 1000])
-    y = jnp.array([1, 3])
-    vals = jnp.zeros((2, 12))
-    mask = jnp.zeros((2, 12))
-    params = model.init(key, x, t, y, vals, mask)
-    return model, params
+    x = jnp.zeros((1, 28, 28, 4))
+    t = jnp.array([1])
+    y = jnp.array([1])
+    params = model.init(key, x, t, y, jnp.zeros((1, 12)), jnp.zeros((1, 12)))
+    fwd = jax.jit(model.apply)
+    return model, params, fwd
 
 
 def test_unet_geom_shapes_28(unet_geom):
     """28 → 14 → 7 → 3 → (pad back) 7 → 14 → 28: the odd-size contract."""
-    model, params = unet_geom
+    model, params, fwd = unet_geom
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 4))
     t = jnp.array([500, 17])
     y = jnp.array([1, 2])
     vals = jax.random.uniform(jax.random.PRNGKey(2), (2, 12))
     mask = jnp.ones((2, 12))
-    eps, geom = model.apply(params, x, t, y, vals, mask)
+    eps, geom = fwd(params, x, t, y, vals, mask)
     assert eps.shape == (2, 28, 28, 4)
     assert geom.shape == (2, 12)
     assert np.isfinite(np.asarray(eps)).all()
@@ -79,16 +80,22 @@ def test_unet_geom_shapes_28(unet_geom):
 
 
 def test_unet_conditioning_changes_output(unet_geom):
-    model, params = unet_geom
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, 28, 28, 4))
-    t = jnp.array([100])
-    vals = jnp.ones((1, 12)) * 0.5
-    mask = jnp.ones((1, 12))
-    eps1, _ = model.apply(params, x, t, jnp.array([1]), vals, mask)
-    eps2, _ = model.apply(params, x, t, jnp.array([2]), vals, mask)
-    eps3, _ = model.apply(params, x, t, jnp.array([1]), vals * 0.1, mask)
-    assert not np.allclose(np.asarray(eps1), np.asarray(eps2))
-    assert not np.allclose(np.asarray(eps1), np.asarray(eps3))
+    """Class id and numeric conditioning must both steer eps; batched pairs
+    reuse the fixture's single compiled forward."""
+    model, params, fwd = unet_geom
+    x = jnp.tile(jax.random.normal(jax.random.PRNGKey(1), (1, 28, 28, 4)),
+                 (2, 1, 1, 1))
+    t = jnp.array([100, 100])
+    mask = jnp.ones((2, 12))
+    # row 0 vs row 1: same x/t/vals, different class id
+    eps_cls, _ = fwd(params, x, t, jnp.array([1, 2]),
+                     jnp.full((2, 12), 0.5), mask)
+    assert not np.allclose(np.asarray(eps_cls[0]), np.asarray(eps_cls[1]))
+    # row 0 vs row 1: same class id, different cond values
+    eps_val, _ = fwd(params, x, t, jnp.array([1, 1]),
+                     jnp.stack([jnp.full((12,), 0.5),
+                                jnp.full((12,), 0.05)]), mask)
+    assert not np.allclose(np.asarray(eps_val[0]), np.asarray(eps_val[1]))
 
 
 def test_unet_uncond_variant():

@@ -60,6 +60,61 @@ def test_csv_sampler_infers_drawing_canvas(tmp_path, pixel_pipeline):
     assert vals[0, 1] == pytest.approx(1.0 - 20.0 / 280.0, rel=1e-5)
 
 
+@pytest.fixture(scope="module")
+def latent_pipeline():
+    from diffusion_model_tpu.models import VAE, VAEConfig
+
+    unet = CondUNet(UNetConfig(in_ch=4, time_dim=32, num_classes=3,
+                               geom_dim=12, with_geom_head=True, base_ch=8,
+                               remove_deep_conv=True))
+    vae = VAE(VAEConfig(base_channels=8))
+    rng = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 4, 4, 4))
+    up = unet.init(rng, z, jnp.ones((1,), jnp.int32),
+                   jnp.zeros((1,), jnp.int32), jnp.zeros((1, 12)),
+                   jnp.zeros((1, 12)))["params"]
+    vp = vae.init({"params": rng, "sample": rng},
+                  jnp.zeros((1, 32, 32, 3)))["params"]
+    return DiffusionPipeline(
+        unet=unet, unet_params=up, vae=vae, vae_params=vp,
+        schedule=DiffusionSchedule.create(4), use_data_parallel=False,
+        decode_chunk=2,
+    )
+
+
+def test_quantize_on_device_matches_host(latent_pipeline):
+    """quantize=True (device uint8) must be bit-identical to quantizing the
+    f32 output on host (reverse_to_img semantics, diff.py:58-64), and B=4 >
+    decode_chunk=2 exercises the lax.map chunked decode."""
+    k = jax.random.PRNGKey(3)
+    u8 = latent_pipeline.sample_latent_cond(
+        (1, 4), guidance_scale=1.5, key=k, to_pil=False,
+        image_hw=(32, 32), quantize=True)
+    f32 = latent_pipeline.sample_latent_cond(
+        (1, 4), guidance_scale=1.5, key=k, to_pil=False,
+        image_hw=(32, 32), quantize=False)
+    u8, f32 = np.asarray(u8), np.asarray(f32)
+    assert u8.dtype == np.uint8 and f32.dtype == np.float32
+    np.testing.assert_array_equal(
+        u8, np.clip(f32 * 255.0, 0, 255).astype(np.uint8))
+
+
+def test_decode_chunking_matches_whole_batch(latent_pipeline):
+    """Chunked decode (decode_chunk=2) must equal whole-batch decode."""
+    import dataclasses
+
+    whole = dataclasses.replace(latent_pipeline, decode_chunk=0)
+    k = jax.random.PRNGKey(7)
+    a = latent_pipeline.sample_latent_cond(
+        (2, 4), guidance_scale=0.0, key=k, to_pil=False, image_hw=(32, 32),
+        quantize=False)
+    b = whole.sample_latent_cond(
+        (2, 4), guidance_scale=0.0, key=k, to_pil=False, image_hw=(32, 32),
+        quantize=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_generate_uncond_parser():
     from diffusion_model_tpu.cli.generate_uncond import build_parser
 

@@ -346,9 +346,15 @@ def test_unet_geom_head_full_model_parity():
                            torch.from_numpy(mask))
 
     params = port_unet(tm)
-    init = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 4)),
-                   jnp.ones((1,), jnp.int32), jnp.ones((1,), jnp.int32),
-                   jnp.zeros((1, 12)), jnp.ones((1, 12)))["params"]
+    # eval_shape: structural init without running the forward (compile-bound
+    # suite; shapes are all the assertion needs)
+    init = jax.eval_shape(
+        lambda k: fm.init(k, jnp.zeros((1, 28, 28, 4)),
+                          jnp.ones((1,), jnp.int32),
+                          jnp.ones((1,), jnp.int32),
+                          jnp.zeros((1, 12)), jnp.ones((1, 12))),
+        jax.random.PRNGKey(0),
+    )["params"]
     assert _tree_shapes(init) == _tree_shapes(params)
 
     eps_f, geom_f = fm.apply(
@@ -377,9 +383,11 @@ def test_vae_full_model_parity_224():
         rec_t = tm.decode(torch.from_numpy(z))
 
     params = port_vae(tm)
-    init = fm.init({"params": jax.random.PRNGKey(0),
-                    "sample": jax.random.PRNGKey(1)},
-                   jnp.zeros((1, 32, 32, 3)))["params"]
+    init = jax.eval_shape(
+        lambda k1, k2: fm.init({"params": k1, "sample": k2},
+                               jnp.zeros((1, 32, 32, 3))),
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+    )["params"]
     assert _tree_shapes(init) == _tree_shapes(params)
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
