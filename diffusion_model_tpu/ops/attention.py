@@ -142,9 +142,17 @@ def _attention_pallas_jit(
     B, T, C = x.shape
     plist = [params[k] for k in PARAM_KEYS]
     act_bytes = 2 if x.dtype == jnp.bfloat16 else 4
-    # per-row working set: x + qkv (3C) + per-head f32 scores (T×T)
-    row_bytes = T * (4 * C * act_bytes) + T * T * 4
-    R = rows_per_step(B, row_bytes)
+    # Only the (R, T, C) in/out blocks scale with R — the per-row compute
+    # temporaries (f32 scores, softmax, qkv, LN intermediates) are reused
+    # across the unrolled row loop. Budget: 12 MB scoped VMEM minus the
+    # fixed temp set, spent on double-buffered I/O rows; cap 8 bounds the
+    # unrolled kernel body.
+    temp_bytes = T * T * 4 + T * T * act_bytes + 6 * T * C * act_bytes \
+        + 2 * T * C * 4
+    io_bytes = 4 * T * C * act_bytes
+    R = rows_per_step(B, io_bytes,
+                      budget=max(io_bytes, 12 * 1024 * 1024 - temp_bytes),
+                      cap=8)
     in_specs = [pl.BlockSpec((R, T, C), lambda i: (i, 0, 0))]
     for a in plist:
         in_specs.append(

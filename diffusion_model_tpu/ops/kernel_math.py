@@ -39,8 +39,11 @@ def rows_per_step(batch: int, row_bytes: int,
     The fused kernels' per-row math is tiny (µs) next to the fixed
     per-grid-step cost, so grids of one row per step leave throughput flat
     in batch; packing R rows per step amortizes the overhead. R is bounded
-    by a VMEM working-set budget per step and must divide the batch (the
-    BlockSpec tiling is uniform)."""
+    by a VMEM budget per step and must divide the batch (the BlockSpec
+    tiling is uniform). Callers pass ``row_bytes`` for whatever actually
+    scales with R (for the fused kernels that is the double-buffered I/O
+    blocks — per-row compute temporaries are reused across the unrolled
+    loop) and fold the fixed temp set into ``budget``."""
     r = max(1, min(cap, budget // max(row_bytes, 1), batch))
     while batch % r:
         r -= 1

@@ -164,14 +164,20 @@ def _resblock_pallas_jit(
     xf = x.reshape(B, H * W, Cin)
     w1m = _stack_taps(w1)  # (9·Cin, cmid)
     w2m = _stack_taps(w2)  # (9·cmid, cout)
-    # Working set per row: the two im2col blocks dominate (9·C lanes each);
-    # activations and the f32 accumulator ride along.
+    # Only the (R, HW, C) in/out blocks scale with R — the im2col blocks,
+    # conv accumulators, and GN temporaries are reused across the unrolled
+    # row loop. Budget: 12 MB scoped VMEM minus that fixed temp set, spent
+    # on double-buffered I/O rows; cap 8 bounds the unrolled body.
     act_bytes = 2 if bf16 else 4
-    row_bytes = H * W * (
-        9 * max(Cin, cmid) * act_bytes + (Cin + cmid) * act_bytes
-        + max(cmid, cout) * 4
+    temp_bytes = H * W * (
+        2 * 9 * max(Cin, cmid) * act_bytes          # both im2col blocks
+        + (Cin + cmid) * act_bytes                  # shifted-tap sources
+        + 2 * max(cmid, cout) * 4                   # f32 conv out + GN temp
     )
-    R = rows_per_step(B, row_bytes)
+    io_bytes = 2 * H * W * (Cin + cout) * act_bytes
+    R = rows_per_step(B, io_bytes,
+                      budget=max(io_bytes, 12 * 1024 * 1024 - temp_bytes),
+                      cap=8)
     out = pl.pallas_call(
         functools.partial(_resblock_kernel, W=W, residual=residual,
                           eps=eps, bf16=bf16),
