@@ -131,3 +131,29 @@ def test_maxpool_floors_odd_sizes():
     xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
     ref = TF.max_pool2d(xt, 2).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(out), ref)
+
+
+def test_group_norm_dispatch_accounts_for_lane_padding(monkeypatch):
+    """Narrow-C rows at large HW must route to XLA: Mosaic pads channels to
+    128 lanes, so a (112, 112, 16) row really costs HW x 128 lanes of VMEM
+    per temp (observed 30 MB scoped-VMEM OOM on TPU for a base_ch=16 VAE
+    at 224 x 224). The dispatch budget uses lane-padded bytes."""
+    from diffusion_model_tpu.ops import groupnorm as gn
+
+    calls = {"pallas": 0}
+
+    def fake_pallas(*a, **k):
+        calls["pallas"] += 1
+        return gn.group_norm_reference(*a, **k)
+
+    monkeypatch.setattr(gn, "group_norm_pallas", fake_pallas)
+    monkeypatch.setattr(gn, "pallas_supported", lambda: True)
+    w = jnp.ones((16,))
+    b = jnp.zeros((16,))
+    # 112*112*roundup(16,128)*4 = 6.4 MB > 1 MB budget -> XLA even though
+    # the un-padded size (784 KB) would have fit
+    gn.group_norm(jnp.zeros((1, 112, 112, 16)), w, b, 8)
+    assert calls["pallas"] == 0
+    # small rows still take the kernel
+    gn.group_norm(jnp.zeros((1, 28, 28, 16)), w, b, 8)
+    assert calls["pallas"] == 1
