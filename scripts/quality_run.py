@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--timesteps", type=int, default=1000)
     ap.add_argument("--image_size", type=int, default=224,
                     help="square image edge; 64 for the CPU-feasible torch-reference parity config (scripts/torch_reference_run.py)")
+    ap.add_argument("--vae_ckpt", default=None,
+                    help="skip stage 1 and reuse this VAE checkpoint "
+                         "(path relative to --root)")
     args = ap.parse_args()
     if args.fast:
         args.train_count, args.val_count, args.test_count = 64, 16, 16
@@ -83,19 +86,25 @@ def main():
     t1 = time.time()
     data = DataConfig(train_items=mk_items(train_dirs),
                       val_items=mk_items(val_dirs), image_size=hw)
-    rv = train_vae(VAETrainConfig(
-        epochs=args.vae_epochs, data=data, save_dir="./vae",
-    ))
-    log["vae_s"] = round(time.time() - t1, 1)
-    log["vae_val"] = rv["val_losses"][-1] if rv["val_losses"] else None
-    print(f"VAE done in {log['vae_s']}s", flush=True)
+    if args.vae_ckpt:
+        vae_ckpt_path = os.path.abspath(args.vae_ckpt)
+        log["vae_s"] = 0.0
+        print(f"reusing VAE checkpoint {vae_ckpt_path}", flush=True)
+    else:
+        rv = train_vae(VAETrainConfig(
+            epochs=args.vae_epochs, data=data, save_dir="./vae",
+        ))
+        vae_ckpt_path = rv["ckpt_path"]
+        log["vae_s"] = round(time.time() - t1, 1)
+        log["vae_val"] = rv["val_losses"][-1] if rv["val_losses"] else None
+        print(f"VAE done in {log['vae_s']}s", flush=True)
 
     # ---- stage 2 ----
     t2 = time.time()
     rl = train_latent_cond(LatentTrainConfig(
         epochs=args.latent_epochs, batch_size=args.latent_bs,
         lr=args.latent_lr, num_timesteps=args.timesteps,
-        vae_ckpt=rv["ckpt_path"], data=data, geom_lambda=0.0,
+        vae_ckpt=vae_ckpt_path, data=data, geom_lambda=0.0,
         post_train_samples=0,
     ))
     log["latent_s"] = round(time.time() - t2, 1)
