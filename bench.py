@@ -19,7 +19,9 @@ from an analytic FLOP count of the whole program (2B CFG U-Net forwards ×
 T steps + whole-batch VAE decode).
 
 Env overrides: BENCH_BATCH (default 64), BENCH_REPS (default 5),
-BENCH_SWEEP=1 adds a batch sweep [32, 64, 128, 256] to the extras.
+BENCH_SWEEP=1 adds a batch sweep [32, 64, 128, 256] to the extras,
+BENCH_DDIM=1 adds the 50-step DDIM fast-path measurement to the extras
+(the headline stays the reference-workload T=1000 DDPM number).
 """
 from __future__ import annotations
 
@@ -147,14 +149,16 @@ def build_pipeline():
     )
 
 
-def time_batch(pipe, batch: int, reps: int, key) -> dict:
+def time_batch(pipe, batch: int, reps: int, key, method: str = "ddpm",
+               steps: int = 0) -> dict:
     def run(k):
         # quantize=True: uint8 conversion on device — the production save
         # path's output format (reverse_to_img parity) and 4× less
         # device→host transfer than f32 images
         return pipe.sample_latent_cond(
             (1, batch), guidance_scale=3.0, key=k, to_pil=False,
-            image_hw=(224, 224), quantize=True,
+            image_hw=(224, 224), quantize=True, method=method,
+            num_inference_steps=steps,
         )
 
     t0 = time.time()
@@ -193,6 +197,10 @@ def main():
     tflops = run_flops(batch) / (head["run_s_mean"] * 1e12) / n_chips
 
     extras = {}
+    if os.environ.get("BENCH_DDIM", "0") == "1":
+        extras["ddim50"] = time_batch(pipe, batch, reps,
+                                      jax.random.fold_in(key, 999),
+                                      method="ddim", steps=50)
     if sweep:
         extras["sweep"] = [
             time_batch(pipe, b, max(2, reps // 2), jax.random.fold_in(key, b))
