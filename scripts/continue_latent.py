@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--timesteps", type=int, default=1000)
     ap.add_argument("--gen_count", type=int, default=200)
+    ap.add_argument("--save_every", type=int, default=50,
+                    help="checkpoint trained_para_cont.msgpack every N "
+                         "epochs (0 = only at the end)")
     args = ap.parse_args()
     os.chdir(args.root)
 
@@ -99,6 +102,9 @@ def main():
             losses_hist.append(round(m, 5))
             print(f"[cont {epoch:03d}] train={m:.6f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if args.save_every and epoch % args.save_every == 0:
+            save_params("./model_para/trained_para_cont.msgpack",
+                        state.params)
     save_params("./model_para/trained_para_cont.msgpack", state.params)
     log["train_s"] = round(time.time() - t0, 1)
     log["losses_every10"] = losses_hist
