@@ -27,7 +27,13 @@ def load_binary_mask(
     image_path, threshold: int = 128, invert: bool = True
 ) -> np.ndarray:
     """Grayscale → bool mask; invert=True treats dark pixels as foreground
-    (line art / CAD convention, eval_iou_noise.py:77-94)."""
+    (line art / CAD convention, eval_iou_noise.py:77-94).
+
+    NOTE: the default here is ``invert=True`` (matching the reference
+    *library* function, eval_iou_noise.py:80) while the eval CLI's
+    ``--invert`` flag defaults to False (matching the reference *CLI*'s
+    store_true flag, eval_iou_noise.py:309). Library callers scoring
+    black-on-white line art should pass ``invert`` explicitly."""
     img = Image.open(image_path).convert("L")
     arr = np.array(img, dtype=np.uint8)
     return native.binarize_bytes(arr, threshold, invert)

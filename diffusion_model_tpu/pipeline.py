@@ -259,6 +259,13 @@ class DiffusionPipeline:
         """
         if quantize is None:
             quantize = bool(decode and to_pil)
+        elif quantize and not decode:
+            # clip(z*255)→uint8 on raw latents (values far outside [0,1])
+            # would silently return saturated garbage
+            raise ValueError(
+                "quantize=True requires decode=True: quantization is only "
+                "meaningful for [0,1] decoded images, not raw latents"
+            )
         items = normalize_class_counts(class_counts)
         y_list: List[int] = []
         for cls_id, n in items:

@@ -27,11 +27,22 @@ except Exception:  # pragma: no cover
 
 
 def save_params(path: str, params: Any) -> None:
-    """Serialize a parameter pytree to msgpack at ``path``."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    """Serialize a parameter pytree to msgpack at ``path``.
+
+    Writes to a temp file in the same directory and atomically renames it
+    over the target, so an interruption mid-write (the exact scenario
+    periodic checkpointing exists for) never destroys the previous good
+    checkpoint.
+    """
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     params = jax.device_get(params)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(params))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def load_params(path: str, target: Any) -> Any:

@@ -82,8 +82,9 @@ def main():
     for cls, d in test_dirs.items():
         cname = CLASS_NAMES[cls]
         out_dir = os.path.join(gen_root, cname)
-        have = len([f for f in os.listdir(out_dir)]) if os.path.isdir(
-            out_dir) else 0
+        have = len([f for f in os.listdir(out_dir)
+                    if f.startswith("pic") and f.endswith(".png")]
+                   ) if os.path.isdir(out_dir) else 0
         if have >= args.gen_count:
             print(f"skip {cname}: {have} images present", flush=True)
             continue

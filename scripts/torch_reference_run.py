@@ -75,6 +75,11 @@ def main():
     ap.add_argument("--cfg_drop", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--ckpt_every", type=int, default=10,
+                    help="save a resumable stage-2 checkpoint every N epochs")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from vae_ref.pth / unet_ref_ck.pth in --root "
+                         "(epoch permutation streams restart, noted in the log)")
     args = ap.parse_args()
     if args.fast:
         args.train_count, args.val_count, args.test_count = 32, 8, 4
@@ -142,7 +147,16 @@ def main():
     vae = RefVAE()
     opt = torch.optim.Adam(vae.parameters(), lr=1e-3)
     rng = np.random.default_rng(args.seed)
-    for ep in range(1, args.vae_epochs + 1):
+    if args.resume and os.path.exists("./vae_ref.pth"):
+        vae.load_state_dict(torch.load("./vae_ref.pth", weights_only=True))
+        vae.eval()
+        with torch.no_grad():
+            vloss = float(vae(va_img)[2])
+        print(f"resumed VAE from ./vae_ref.pth (val={vloss:.5f})", flush=True)
+        args_vae_epochs = 0
+    else:
+        args_vae_epochs = args.vae_epochs
+    for ep in range(1, args_vae_epochs + 1):
         perm = rng.permutation(len(tr_img))
         losses = []
         vae.train()
@@ -158,7 +172,8 @@ def main():
             vloss = float(vae(va_img)[2])
         print(f"[vae {ep:02d}] train={np.mean(losses):.5f} val={vloss:.5f}",
               flush=True)
-    torch.save(vae.state_dict(), "./vae_ref.pth")
+    if args_vae_epochs:
+        torch.save(vae.state_dict(), "./vae_ref.pth")
     log["vae_s"] = round(time.time() - t1, 1)
     log["vae_val"] = vloss
 
@@ -171,7 +186,23 @@ def main():
                                  cfg_drop_prob=0.0, geom_dim=12)
     diffuser = Diffuser(device="cpu", num_timesteps=args.timesteps)
     opt = torch.optim.Adam(model.parameters(), lr=1e-4)
-    for ep in range(1, args.latent_epochs + 1):
+    start_ep = 1
+    if args.resume and os.path.exists("./unet_ref_ck.pth"):
+        ck = torch.load("./unet_ref_ck.pth", weights_only=False)
+        model.load_state_dict(ck["model"])
+        opt.load_state_dict(ck["opt"])
+        start_ep = int(ck["epoch"]) + 1
+        print(f"resumed stage-2 from epoch {ck['epoch']}", flush=True)
+        log["resumed_from_epoch"] = int(ck["epoch"])
+
+    def _save_ck(ep):
+        tmp = "./unet_ref_ck.pth.tmp"
+        torch.save({"model": model.state_dict(), "opt": opt.state_dict(),
+                    "epoch": ep}, tmp)
+        os.replace(tmp, "./unet_ref_ck.pth")
+
+    losses = []
+    for ep in range(start_ep, args.latent_epochs + 1):
         perm = rng.permutation(len(tr_img))
         losses = []
         model.train()
@@ -197,6 +228,8 @@ def main():
             losses.append(float(loss))
         print(f"[latent {ep:03d}] loss={np.mean(losses):.5f} "
               f"({time.time() - te:.0f}s)", flush=True)
+        if args.ckpt_every and ep % args.ckpt_every == 0:
+            _save_ck(ep)
     torch.save(model.state_dict(), "./unet_ref.pth")
     log["latent_s"] = round(time.time() - t2, 1)
     log["latent_train_losses_tail"] = [round(x, 5) for x in losses[-5:]]

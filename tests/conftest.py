@@ -24,8 +24,8 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is XLA-compile-bound on one CPU
 # core (~17 min cold); cached re-runs roughly halve it. The cache works on
-# the CPU backend (unlike the axon remote AOT compiler) and lives outside
-# the repo tree.
+# the CPU backend (unlike the axon remote AOT compiler). Default location
+# is <repo>/.jax_test_cache (gitignored); override via JAX_TEST_CACHE_DIR.
 _cache = os.environ.get("JAX_TEST_CACHE_DIR",
                         os.path.join(os.path.dirname(__file__), "..",
                                      ".jax_test_cache"))

@@ -99,6 +99,37 @@ def test_quantize_on_device_matches_host(latent_pipeline):
         u8, np.clip(f32 * 255.0, 0, 255).astype(np.uint8))
 
 
+def test_quantize_without_decode_rejected(latent_pipeline):
+    """quantize=True with decode=False would uint8-saturate raw latents;
+    the combination must raise instead of silently returning garbage."""
+    import pytest
+
+    with pytest.raises(ValueError, match="quantize"):
+        latent_pipeline.sample_latent_cond(
+            (1, 2), key=jax.random.PRNGKey(0), to_pil=False,
+            image_hw=(32, 32), decode=False, quantize=True)
+
+
+def test_save_params_atomic_preserves_previous_on_crash(tmp_path):
+    """save_params writes via temp+os.replace: an interrupted save must
+    leave the previous checkpoint intact (ADVICE r2)."""
+    from unittest import mock
+
+    from diffusion_model_tpu.train.checkpoints import load_params, save_params
+
+    tree = {"w": np.arange(4, dtype=np.float32)}
+    path = str(tmp_path / "ck.msgpack")
+    save_params(path, tree)
+    # simulate a crash mid-write of the NEW file: os.replace never runs
+    with mock.patch("os.replace", side_effect=OSError("killed")):
+        try:
+            save_params(path, {"w": np.zeros(4, dtype=np.float32)})
+        except OSError:
+            pass
+    restored = load_params(path, {"w": np.zeros(4, dtype=np.float32)})
+    np.testing.assert_array_equal(restored["w"], tree["w"])
+
+
 def test_decode_chunking_matches_whole_batch(latent_pipeline):
     """Chunked decode (decode_chunk=2) must equal whole-batch decode."""
     import dataclasses
