@@ -183,6 +183,43 @@ def time_batch(pipe, batch: int, reps: int, key, method: str = "ddpm",
     }
 
 
+def time_batch_nofetch(pipe, batch: int, reps: int, key) -> dict:
+    """Device-side sink: run the full scan+decode+uint8 program but fetch
+    only a reduced scalar — isolates the axon tunnel's device→host image
+    fetch from the compute pipeline (VERDICT r2 weak #2: the B=256 droop
+    decomposition was estimated, not measured)."""
+    import jax.numpy as jnp
+
+    run = pipe._sampler(3.0, True, snapshots=False, quantize=True)
+    y = jnp.ones((batch,), jnp.int32)
+    vals = jnp.zeros((batch, 12))
+    mask = jnp.zeros((batch, 12))
+    sink = jax.jit(lambda u8: jnp.sum(u8.astype(jnp.uint32)))
+
+    def go(k):
+        x0 = jax.random.normal(k, (batch, 28, 28, 4), dtype=jnp.float32)
+        out = run(pipe.unet_params, pipe.vae_params, x0,
+                  jax.random.fold_in(k, 1), y, vals, mask)
+        return int(sink(out))  # one scalar crosses the tunnel
+
+    t0 = time.time()
+    go(key)
+    compile_s = time.time() - t0
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        go(jax.random.fold_in(key, i + 2))
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    return {
+        "batch": batch,
+        "compile_s": round(compile_s, 1),
+        "run_s_mean": round(float(times.mean()), 3),
+        "run_s_std": round(float(times.std()), 3),
+        "ips_mean": round(batch / float(times.mean()), 3),
+    }
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
@@ -205,6 +242,12 @@ def main():
         extras["sweep"] = [
             time_batch(pipe, b, max(2, reps // 2), jax.random.fold_in(key, b))
             for b in (32, 64, 128, 256)
+        ]
+    if os.environ.get("BENCH_NOFETCH", "0") == "1":
+        extras["nofetch"] = [
+            time_batch_nofetch(pipe, b, max(2, reps // 2),
+                               jax.random.fold_in(key, 7000 + b))
+            for b in (64, 256)
         ]
 
     print(json.dumps({

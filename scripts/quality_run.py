@@ -43,6 +43,15 @@ def main():
     ap.add_argument("--vae_ckpt", default=None,
                     help="skip stage 1 and reuse this VAE checkpoint "
                          "(path relative to --root)")
+    ap.add_argument("--geom_lambda", type=float, default=0.0,
+                    help="geometry-head loss weight (reference sweeps "
+                         "{0, 0.01, 0.05, 0.1}, image_tools.py:470-478)")
+    ap.add_argument("--orbax_dir", default="./orbax_ck",
+                    help="async Orbax full-state checkpoints every epoch so "
+                         "a multi-hour run survives a tunnel wedge; resumes "
+                         "automatically if checkpoints exist ('' disables)")
+    ap.add_argument("--data_dir", default="./data",
+                    help="dataset directory (shareable across sweep runs)")
     args = ap.parse_args()
     if args.fast:
         args.train_count, args.val_count, args.test_count = 64, 16, 16
@@ -70,11 +79,11 @@ def main():
     # ---- data ----
     print("== rendering datasets ==", flush=True)
     hw = (args.image_size, args.image_size)
-    train_dirs = generate_all_classes("./data", args.train_count, seed=1,
-                                      image_size=hw)
-    val_dirs = generate_all_classes("./data", args.val_count, seed=2,
+    train_dirs = generate_all_classes(args.data_dir, args.train_count,
+                                      seed=1, image_size=hw)
+    val_dirs = generate_all_classes(args.data_dir, args.val_count, seed=2,
                                     suffix="_val", image_size=hw)
-    test_dirs = generate_all_classes("./data", args.test_count, seed=3,
+    test_dirs = generate_all_classes(args.data_dir, args.test_count, seed=3,
                                      suffix="_test", image_size=hw)
     mk_items = lambda dirs: [
         (f"{d}/{os.path.basename(d)}.csv", d, cls) for cls, d in dirs.items()
@@ -104,8 +113,10 @@ def main():
     rl = train_latent_cond(LatentTrainConfig(
         epochs=args.latent_epochs, batch_size=args.latent_bs,
         lr=args.latent_lr, num_timesteps=args.timesteps,
-        vae_ckpt=vae_ckpt_path, data=data, geom_lambda=0.0,
+        vae_ckpt=vae_ckpt_path, data=data, geom_lambda=args.geom_lambda,
         post_train_samples=0,
+        resume_dir=os.path.abspath(args.orbax_dir) if args.orbax_dir
+        else None,
     ))
     log["latent_s"] = round(time.time() - t2, 1)
     log["latent_train_losses_tail"] = [
