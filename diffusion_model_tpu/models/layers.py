@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from ..ops import attention as attention_ops
 from ..ops import groupnorm as gn_ops
-from ..ops.resblock import resblock as fused_resblock
 from ..ops.resize import pad_to_match, upsample2x
+from ..ops.stage import fused_stage
 
 Dtype = Any
 
@@ -62,12 +62,41 @@ class TorchGroupNorm(nn.Module):
         )
 
 
+class ResBlockParams(nn.Module):
+    """Declares one ResBlock's parameters (same names/shapes as ResBlock)
+    and returns them as a dict, so a parent module can hand several blocks
+    to the fused stage kernel (ops/stage.py) while keeping checkpoint
+    param paths identical to per-block modules."""
+
+    out_channels: int
+    mid_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, cin: int) -> dict:
+        mid = self.mid_channels or self.out_channels
+        init = nn.initializers.lecun_normal()
+        return {
+            "w1": self.param("conv1_kernel", init, (3, 3, cin, mid),
+                             jnp.float32),
+            "w2": self.param("conv2_kernel", init,
+                             (3, 3, mid, self.out_channels), jnp.float32),
+            "s1": self.param("gn1_scale", nn.initializers.ones, (mid,),
+                             jnp.float32),
+            "b1": self.param("gn1_bias", nn.initializers.zeros, (mid,),
+                             jnp.float32),
+            "s2": self.param("gn2_scale", nn.initializers.ones,
+                             (self.out_channels,), jnp.float32),
+            "b2": self.param("gn2_bias", nn.initializers.zeros,
+                             (self.out_channels,), jnp.float32),
+        }
+
+
 class ResBlock(nn.Module):
     """conv3×3(no bias) → GN(1)+GELU → conv3×3(no bias) → GN(1);
     optional residual with post-add GELU (unet.py:9-29).
 
-    On TPU the whole block runs as ONE fused Pallas kernel
-    (ops/resblock.py); elsewhere an XLA composition with identical math."""
+    On TPU the whole block runs inside the fused stage Pallas kernel
+    (ops/stage.py); elsewhere an XLA composition with identical math."""
 
     out_channels: int
     mid_channels: Optional[int] = None
@@ -80,18 +109,23 @@ class ResBlock(nn.Module):
         cin = x.shape[-1]
         mid = self.mid_channels or self.out_channels
         init = nn.initializers.lecun_normal()
-        w1 = self.param("conv1_kernel", init, (3, 3, cin, mid), jnp.float32)
-        w2 = self.param("conv2_kernel", init,
-                        (3, 3, mid, self.out_channels), jnp.float32)
-        s1 = self.param("gn1_scale", nn.initializers.ones, (mid,), jnp.float32)
-        b1 = self.param("gn1_bias", nn.initializers.zeros, (mid,), jnp.float32)
-        s2 = self.param("gn2_scale", nn.initializers.ones,
-                        (self.out_channels,), jnp.float32)
-        b2 = self.param("gn2_bias", nn.initializers.zeros,
-                        (self.out_channels,), jnp.float32)
-        return fused_resblock(
-            x.astype(self.dtype), w1, w2, s1, b1, s2, b2,
-            residual=self.residual, use_pallas=self.use_pallas,
+        p = {
+            "w1": self.param("conv1_kernel", init, (3, 3, cin, mid),
+                             jnp.float32),
+            "w2": self.param("conv2_kernel", init,
+                             (3, 3, mid, self.out_channels), jnp.float32),
+            "s1": self.param("gn1_scale", nn.initializers.ones, (mid,),
+                             jnp.float32),
+            "b1": self.param("gn1_bias", nn.initializers.zeros, (mid,),
+                             jnp.float32),
+            "s2": self.param("gn2_scale", nn.initializers.ones,
+                             (self.out_channels,), jnp.float32),
+            "b2": self.param("gn2_bias", nn.initializers.zeros,
+                             (self.out_channels,), jnp.float32),
+        }
+        return fused_stage(
+            x.astype(self.dtype), (p,), (self.residual,),
+            use_pallas=self.use_pallas,
         )
 
 
@@ -132,22 +166,33 @@ class AttentionBlock(nn.Module):
 
 
 class TimeEmbedAdd(nn.Module):
-    """SiLU → Dense(emb_dim → C) broadcast-added over H, W (unet.py:61-69)."""
+    """SiLU → Dense(emb_dim → C) broadcast-added over H, W (unet.py:61-69).
+
+    ``project_only=True`` returns the projected (B, C) vector instead of
+    adding it, so Down/Up can hand the add to the fused stage kernel while
+    keeping the ``<stage>/emb/proj`` checkpoint param path."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
+    project_only: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: Optional[jnp.ndarray],
+                 emb: jnp.ndarray) -> jnp.ndarray:
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(
             jax.nn.silu(emb)
         )
+        if self.project_only:
+            return e
         return x + e[:, None, None, :]
 
 
 class Down(nn.Module):
     """MaxPool(2) → ResBlock(in,in,residual) → ResBlock(in,out) → +time emb
-    (unet.py:53-69). MaxPool floors odd sizes like torch (7 → 3)."""
+    (unet.py:53-69). MaxPool floors odd sizes like torch (7 → 3).
+
+    On TPU the two ResBlocks and the time-embedding add run as ONE fused
+    stage kernel (ops/stage.py)."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
@@ -157,18 +202,21 @@ class Down(nn.Module):
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = ResBlock(in_ch, residual=True, dtype=self.dtype,
-                     use_pallas=self.use_pallas, name="res1")(x)
-        x = ResBlock(self.out_channels, dtype=self.dtype,
-                     use_pallas=self.use_pallas, name="res2")(x)
-        return TimeEmbedAdd(self.out_channels, dtype=self.dtype,
-                            name="emb")(x, emb)
+        p1 = ResBlockParams(in_ch, name="res1")(in_ch)
+        p2 = ResBlockParams(self.out_channels, name="res2")(in_ch)
+        e = TimeEmbedAdd(self.out_channels, dtype=self.dtype,
+                         project_only=True, name="emb")(None, emb)
+        return fused_stage(
+            x.astype(self.dtype), (p1, p2), (True, False), emb=e,
+            use_pallas=self.use_pallas,
+        )
 
 
 class Up(nn.Module):
     """bilinear ×2 (align_corners) → pad to skip → concat[skip, x] →
     ResBlock(in,in,residual) → ResBlock(in,out,mid=in//2) → +time emb
-    (unet.py:71-99)."""
+    (unet.py:71-99). The upsample/pad/concat stay in XLA; both ResBlocks and
+    the embedding add run as ONE fused stage kernel."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
@@ -181,10 +229,12 @@ class Up(nn.Module):
         x = pad_to_match(x, skip.shape[1], skip.shape[2])
         x = jnp.concatenate([skip, x], axis=-1)
         in_ch = x.shape[-1]
-        x = ResBlock(in_ch, residual=True, dtype=self.dtype,
-                     use_pallas=self.use_pallas, name="res1")(x)
-        x = ResBlock(self.out_channels, mid_channels=in_ch // 2,
-                     dtype=self.dtype, use_pallas=self.use_pallas,
-                     name="res2")(x)
-        return TimeEmbedAdd(self.out_channels, dtype=self.dtype,
-                            name="emb")(x, emb)
+        p1 = ResBlockParams(in_ch, name="res1")(in_ch)
+        p2 = ResBlockParams(self.out_channels, mid_channels=in_ch // 2,
+                            name="res2")(in_ch)
+        e = TimeEmbedAdd(self.out_channels, dtype=self.dtype,
+                         project_only=True, name="emb")(None, emb)
+        return fused_stage(
+            x.astype(self.dtype), (p1, p2), (True, False), emb=e,
+            use_pallas=self.use_pallas,
+        )

@@ -37,10 +37,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.stage import fused_stage
 from .layers import (
     AttentionBlock,
     Down,
     ResBlock,
+    ResBlockParams,
     Up,
     sinusoidal_time_embedding,
 )
@@ -135,14 +137,17 @@ class CondUNet(nn.Module):
         x4 = Down(bc * 4, name="down3", **kw)(x3, emb)
         x4 = AttentionBlock(bc * 4, cfg.num_heads, name="sa3", **kw)(x4)
 
-        # ---- bottleneck ----
+        # ---- bottleneck: all blocks in ONE fused stage kernel ----
+        c4 = x4.shape[-1]
         if cfg.remove_deep_conv:
-            x4 = ResBlock(bc * 4, name="bot1", **kw)(x4)
-            x4 = ResBlock(bc * 4, name="bot3", **kw)(x4)
+            pb = (ResBlockParams(bc * 4, name="bot1")(c4),
+                  ResBlockParams(bc * 4, name="bot3")(bc * 4))
         else:
-            x4 = ResBlock(bc * 8, name="bot1", **kw)(x4)
-            x4 = ResBlock(bc * 8, name="bot2", **kw)(x4)
-            x4 = ResBlock(bc * 4, name="bot3", **kw)(x4)
+            pb = (ResBlockParams(bc * 8, name="bot1")(c4),
+                  ResBlockParams(bc * 8, name="bot2")(bc * 8),
+                  ResBlockParams(bc * 4, name="bot3")(bc * 8))
+        x4 = fused_stage(x4.astype(dt), pb, (False,) * len(pb),
+                         use_pallas=cfg.use_pallas)
 
         # ---- decoder ----
         h = Up(bc * 2, name="up1", **kw)(x4, x3, emb)

@@ -123,14 +123,85 @@ def attention_block_reference(
     return _block_math(x, params, num_heads).astype(x.dtype)
 
 
+def _block_body_batched(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
+                        num_heads: int, dt, gelu_fn) -> jnp.ndarray:
+    """The full block on an (R, T, C) row block with the dense projections
+    flattened to single (R·T, C) MXU matmuls and the per-head score/value
+    contractions batched over R — same per-element reduction order as the
+    per-row version, so numerics match.
+
+    Round 2 ran an unrolled per-row loop here; at these token counts the
+    per-row matmuls (M = T ≤ 784, K as small as 16 per head) left the MXU
+    mostly idle. Flattening rows into M = R·T recovers full tiles for the
+    ~2/3 of attention FLOPs that live in the projections/FF."""
+    R, T, C = x.shape
+    dh = C // num_heads
+
+    def mm(a, w, b):
+        flat = a.reshape(R * T, a.shape[-1])   # lane dim untouched
+        out = jnp.dot(flat, w.astype(dt), preferred_element_type=jnp.float32)
+        # explicit (1, C') bias: Mosaic aborts on implicit rank-1 broadcasts
+        out = (out + b.astype(jnp.float32).reshape(1, -1)).astype(dt)
+        return out.reshape(R, T, -1)
+
+    def ln3(a, scale, bias):
+        af = a.astype(jnp.float32)
+        mean = af.mean(axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(af - mean), axis=-1, keepdims=True)
+        c = a.shape[-1]
+        out = (af - mean) * jax.lax.rsqrt(var + 1e-5) * scale.astype(
+            jnp.float32).reshape(1, 1, c) + bias.astype(
+            jnp.float32).reshape(1, 1, c)
+        return out.astype(a.dtype)
+
+    xn = ln3(x, p["ln_scale"], p["ln_bias"])
+    qkv = mm(xn, p["qkv_w"], p["qkv_b"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    # Per-head attention WITHOUT lane slicing: a (T, dh) head slice pads
+    # dh → 128 lanes and forces a vector relayout per slice — measured at
+    # 2.7 TFLOP/s on the C=64 levels. Instead mask the head's lanes and
+    # contract over the FULL channel dim: (q·mask_h) @ kᵀ equals q_h·k_hᵀ
+    # exactly (the other lanes contribute zeros; f32 accumulation makes
+    # adding zeros exact), runs full-width on the MXU, and the per-head
+    # context (softmax_h @ (v·mask_h)) lands in its own lanes so the heads
+    # recombine by SUM — no concat, no relayout.
+    inv_sqrt_dh = 1.0 / float(dh) ** 0.5
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    ctx = None
+    for h in range(num_heads):
+        maskh = ((lane // dh) == h).astype(dt)
+        qh = q * maskh
+        vh = v * maskh
+        scores = jnp.einsum(
+            "rtc,rsc->rts", qh, k, preferred_element_type=jnp.float32,
+        ) * inv_sqrt_dh
+        attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+        part = jnp.einsum(
+            "rts,rsc->rtc", attn, vh, preferred_element_type=jnp.float32,
+        )
+        ctx = part if ctx is None else ctx + part
+    attn_out = mm(ctx.astype(dt), p["out_w"], p["out_b"])
+
+    h = attn_out + xn  # reference quirk: residual uses the normed tensor
+    hn = ln3(h, p["ff_ln_scale"], p["ff_ln_bias"])
+    ff = gelu_fn(mm(hn, p["ff1_w"], p["ff1_b"]).astype(jnp.float32))
+    ff = mm(ff.astype(dt), p["ff2_w"], p["ff2_b"])
+    return ff + h
+
+
 def _attn_kernel(x_ref, *refs, num_heads: int):
     param_refs, o_ref = refs[:-1], refs[-1]
     p = {k: r[:] for k, r in zip(PARAM_KEYS, param_refs)}
-    # R rows per grid step (static unroll) — amortizes the fixed
-    # per-grid-step cost, which dominates these µs-scale token counts.
-    for r in range(x_ref.shape[0]):
-        out = _block_math(x_ref[r], p, num_heads, kernel=True)
-        o_ref[r] = out.astype(o_ref.dtype)
+    x = x_ref[:]
+    gelu_fn = gelu_exact
+    if x.dtype == jnp.bfloat16:
+        out = _block_body_batched(x, p, num_heads, jnp.bfloat16, gelu_fn)
+    else:
+        with jax.default_matmul_precision("highest"):
+            out = _block_body_batched(x.astype(jnp.float32), p, num_heads,
+                                      jnp.float32, gelu_fn)
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -142,17 +213,18 @@ def _attention_pallas_jit(
     B, T, C = x.shape
     plist = [params[k] for k in PARAM_KEYS]
     act_bytes = 2 if x.dtype == jnp.bfloat16 else 4
-    # Only the (R, T, C) in/out blocks scale with R — the per-row compute
-    # temporaries (f32 scores, softmax, qkv, LN intermediates) are reused
-    # across the unrolled row loop. Budget: 12 MB scoped VMEM minus the
-    # fixed temp set, spent on double-buffered I/O rows; cap 8 bounds the
-    # unrolled kernel body.
-    temp_bytes = T * T * 4 + T * T * act_bytes + 6 * T * C * act_bytes \
-        + 2 * T * C * 4
-    io_bytes = 4 * T * C * act_bytes
-    R = rows_per_step(B, io_bytes,
-                      budget=max(io_bytes, 12 * 1024 * 1024 - temp_bytes),
-                      cap=8)
+    # The whole working set scales with R in the batched-matmul kernel:
+    # double-buffered (R, T, C) I/O blocks, the (R, T, T) f32+dt score
+    # blocks, qkv/ctx/FF intermediates, and f32 LN temporaries. Channel
+    # counts are padded to 128 lanes (Mosaic layout) before costing.
+    c_lane = max(128, -(-C // 128) * 128)
+    row_bytes = (
+        T * T * (4 + act_bytes)              # scores f32 + softmax in dt
+        + 10 * T * c_lane * act_bytes        # qkv(3C)+ctx+attn_out+FF blocks
+        + 2 * T * c_lane * 4                 # f32 LN temporaries
+        + 4 * T * c_lane * act_bytes         # double-buffered I/O
+    )
+    R = rows_per_step(B, row_bytes, budget=12 * 1024 * 1024, cap=32)
     in_specs = [pl.BlockSpec((R, T, C), lambda i: (i, 0, 0))]
     for a in plist:
         in_specs.append(
@@ -203,9 +275,20 @@ def attention_block(
     num_heads: int = 4,
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Dispatching entry point on (B, T, C) tokens."""
+    """Dispatching entry point on (B, T, C) tokens.
+
+    Auto-dispatch is shape-aware, from round-3 per-level scan measurements
+    on the production U-Net (B=128 CFG batch, docs/PERFORMANCE.md): the
+    fused Pallas kernel wins decisively where the T² score work dominates
+    (sa6, T=784: 1.8 vs 10.7 ms — XLA's MHA lowering materializes the
+    per-head score tensors through HBM), and roughly ties XLA at C≥128
+    (sa1: 0.51 vs 0.59 ms). XLA wins at middling T with narrow channels
+    (sa5, T=196/C=64: 0.34 vs 0.51 ms) where the kernel's full-width
+    masked-head matmuls do num_heads× redundant lane work. Rule: Pallas
+    iff T ≥ 256 or C ≥ 128."""
     if use_pallas is None:
-        use_pallas = pallas_supported()
+        T, C = x.shape[1], x.shape[2]
+        use_pallas = pallas_supported() and (T >= 256 or C >= 128)
     if use_pallas:
         return attention_block_pallas(x, params, num_heads)
     return attention_block_reference(x, params, num_heads=num_heads)
