@@ -131,11 +131,22 @@ def generate_dataset(
     ``image_name,text`` columns for the VAE stage).
 
     Returns the dataset directory path.
+
+    Idempotent: if the directory already holds a complete dataset (CSV with
+    ``count`` rows, last image present), it is left untouched — rendering is
+    deterministic given ``seed``, so regeneration would write identical
+    bytes anyway, and skipping keeps concurrent readers (e.g. a torch
+    cross-stack run sharing the data) safe from partial-file windows.
     """
     cname = CLASS_NAMES[class_id]
     if name is None:
         name = f"{cname}_{image_size[0]}x{image_size[1]}"
     ds_dir = Path(out_dir) / name
+    csv_path = ds_dir / f"{name}.csv"
+    if csv_path.exists() and (ds_dir / f"p{count - 1:05d}.jpg").exists():
+        with open(csv_path, newline="") as f:
+            if sum(1 for _ in f) == count:
+                return str(ds_dir)
     ds_dir.mkdir(parents=True, exist_ok=True)
 
     rng = np.random.default_rng(seed)

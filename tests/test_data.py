@@ -59,6 +59,25 @@ def test_generate_dataset_contract(tmp_path):
     assert float(rows[0][5]) == 0.0 and float(rows[0][1]) != 0.0
 
 
+def test_generate_dataset_idempotent_skip(tmp_path):
+    """A complete dataset dir is left untouched on re-call (same bytes are
+    deterministic from the seed; skipping keeps concurrent readers safe),
+    but a count change re-renders."""
+    d = generate_dataset(str(tmp_path), CLASS_LINE, 3, image_size=(16, 16),
+                         seed=7)
+    mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+    d2 = generate_dataset(str(tmp_path), CLASS_LINE, 3, image_size=(16, 16),
+                          seed=7)
+    assert d2 == d
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
+    }
+    d3 = generate_dataset(str(tmp_path), CLASS_LINE, 4, image_size=(16, 16),
+                          seed=7)
+    with open(os.path.join(d3, "line_16x16.csv")) as f:
+        assert len(list(csv.reader(f))) == 4
+
+
 def test_label_dataset_and_cache(tmp_path):
     d = generate_dataset(str(tmp_path), CLASS_CIRCLE, 4, image_size=(32, 32))
     items = [(f"{d}/circle_32x32.csv", d, 2)]
