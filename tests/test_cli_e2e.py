@@ -7,6 +7,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

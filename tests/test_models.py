@@ -98,6 +98,7 @@ def test_unet_conditioning_changes_output(unet_geom):
     assert not np.allclose(np.asarray(eps_val[0]), np.asarray(eps_val[1]))
 
 
+@pytest.mark.heavy
 def test_unet_uncond_variant():
     model = make_unet(in_ch=3, num_classes=None, base_ch=16, time_dim=64,
                       remove_deep_conv=True)

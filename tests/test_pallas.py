@@ -173,6 +173,7 @@ def test_attention_pallas_forward_parity(dtype, num_heads):
     )
 
 
+@pytest.mark.heavy
 def test_attention_pallas_grad_parity():
     B, T, C = 1, 9, 16
     k = jax.random.PRNGKey(2)
@@ -238,6 +239,7 @@ def test_resblock_pallas_nonsquare_edges():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_resblock_pallas_grad_parity():
     B, H, W, C = 1, 4, 4, 8
     k = jax.random.PRNGKey(6)

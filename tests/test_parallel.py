@@ -1,5 +1,7 @@
 """Multi-device tests on the virtual 8-CPU mesh: DP train step, sharded
 sampling, TP param sharding rules."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +33,7 @@ def test_shard_batch_puts_on_mesh():
     assert out["x"].sharding.spec == P("data")
 
 
+@pytest.mark.heavy
 def test_dp_train_step_on_mesh():
     """The full latent train step compiles and runs with the batch sharded
     over 8 devices; params replicated; grads all-reduced by XLA."""
@@ -101,6 +104,7 @@ def test_tp_param_sharding_rules():
         None, None, None, "model")
 
 
+@pytest.mark.heavy
 def test_tp_forward_matches_replicated():
     """A TP-sharded UNet forward must produce the same output as the
     replicated one (XLA inserts the collectives)."""
@@ -123,6 +127,7 @@ def test_tp_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_trainer_tp_path_shards_params(tmp_path, monkeypatch):
     """--tp 2 through the production trainer: an 8-virtual-device run of
     train_latent_cond(tp=2) must train on a (4, 2) (data, model) mesh with

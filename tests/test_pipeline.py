@@ -122,6 +122,7 @@ def test_csv_condition_sampler(tiny_pipeline, tmp_path):
     assert imgs.shape == (2, 32, 32, 3)
 
 
+@pytest.mark.heavy
 def test_from_checkpoints_roundtrip(tiny_pipeline, tmp_path):
     from diffusion_model_tpu.train import save_params
 
@@ -141,6 +142,7 @@ def test_from_checkpoints_roundtrip(tiny_pipeline, tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_sample_cond_pixel_space(tiny_pipeline):
     """Diffuser.sample_cond parity (diff.py:165-172): class-conditional
     sampling with NO vae decode; guidance_scale=0 must not crash (the

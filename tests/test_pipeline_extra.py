@@ -26,6 +26,7 @@ def pixel_pipeline():
     )
 
 
+@pytest.mark.heavy
 def test_sample_pixel(pixel_pipeline):
     imgs = pixel_pipeline.sample_pixel((2, 16, 16, 3),
                                        key=jax.random.PRNGKey(1))
@@ -82,6 +83,7 @@ def latent_pipeline():
     )
 
 
+@pytest.mark.heavy
 def test_quantize_on_device_matches_host(latent_pipeline):
     """quantize=True (device uint8) must be bit-identical to quantizing the
     f32 output on host (reverse_to_img semantics, diff.py:58-64), and B=4 >
@@ -130,6 +132,7 @@ def test_save_params_atomic_preserves_previous_on_crash(tmp_path):
     np.testing.assert_array_equal(restored["w"], tree["w"])
 
 
+@pytest.mark.heavy
 def test_decode_chunking_matches_whole_batch(latent_pipeline):
     """Chunked decode (decode_chunk=2) must equal whole-batch decode."""
     import dataclasses

@@ -25,6 +25,7 @@ def test_trace_noop_without_dir():
         pass  # must not raise
 
 
+@pytest.mark.heavy
 def test_vae_train_resume(tmp_path):
     """Interrupt after 2 epochs, resume, and check the epoch counter and
     optimizer state carry over."""

@@ -87,6 +87,7 @@ def test_stage_matches_sequential_resblocks():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_stage_custom_vjp_grads_match_reference():
     key = jax.random.PRNGKey(5)
     x = jax.random.normal(key, (2, 5, 5, 8))
@@ -121,6 +122,7 @@ def test_stage_odd_1xW_activation():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_unet_param_paths_unchanged():
     """Round-2 checkpoints must keep loading: the fused-stage integration
     may not move any Flax param path."""

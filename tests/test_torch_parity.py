@@ -27,6 +27,8 @@ import jax.numpy as jnp
 
 from diffusion_model_tpu.models import VAE, VAEConfig, CondUNet, UNetConfig
 
+pytestmark = pytest.mark.heavy
+
 
 # ---------------------------------------------------------------------------
 # torch reference architectures (re-stated from the reference definitions;

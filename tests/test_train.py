@@ -65,6 +65,7 @@ def latent_setup():
     return cfg, vae, unet, vae_params, state, schedule
 
 
+@pytest.mark.heavy
 def test_latent_train_step_runs_and_descends(latent_setup):
     cfg, vae, unet, vae_params, state, schedule = latent_setup
     # the step donates its input state; keep the fixture's copy alive
@@ -152,6 +153,7 @@ def test_recorder_artifacts(tmp_path):
     assert lines[-2].startswith("min_train,0.4")
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("stream_side", ["train", "val"])
 def test_vae_mixed_residency(tmp_path, monkeypatch, stream_side):
     """Residency is decided per dataset: one side streaming while the other
