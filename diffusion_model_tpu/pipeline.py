@@ -243,11 +243,18 @@ class DiffusionPipeline:
         num_inference_steps: int = 0,
         eta: float = 0.0,
         quantize: Optional[bool] = None,
+        remainder: str = "pad",
     ):
         """Conditional latent generation (diff.py:174-369 parity).
 
         ``batch_size`` > 0 splits the request into fixed-size scan launches
         (one compilation, reused); 0 runs everything in one scan.
+        ``remainder`` controls the short final chunk when ``count %
+        batch_size != 0``: ``"pad"`` (default) repeats the last sample up to
+        ``batch_size`` and discards the padding — right for one-shot CLI
+        runs where an extra compilation costs minutes; ``"exact"`` runs the
+        final chunk at its true size — one extra (cached) compilation, no
+        wasted scan compute, right for long-lived serving processes.
         ``method="ddim"`` switches to the strided DDIM sampler with
         ``num_inference_steps`` model evaluations (default 50) — a
         beyond-reference fast path.
@@ -280,12 +287,17 @@ class DiffusionPipeline:
                             num_inference_steps=num_inference_steps, eta=eta,
                             quantize=quantize)
 
+        if remainder not in ("pad", "exact"):
+            raise ValueError(f"remainder must be 'pad' or 'exact', "
+                             f"got {remainder!r}")
         chunks = []
         step = batch_size if batch_size > 0 else B
         for s in range(0, B, step):
             e = min(s + step, B)
             n = e - s
-            pad = step - n if (batch_size > 0 and e == B) else 0
+            pad = step - n if (
+                batch_size > 0 and e == B and remainder == "pad"
+            ) else 0
             sl = slice(s, e)
             y_c = np.concatenate([y_np[sl], y_np[sl][:0]]) if pad == 0 else \
                 np.concatenate([y_np[sl], np.repeat(y_np[sl][-1:], pad, 0)])

@@ -82,6 +82,23 @@ def test_sample_latent_cond_batched_chunks(tiny_pipeline):
     assert imgs.shape == (5, 32, 32, 3)
 
 
+def test_sample_latent_cond_exact_remainder(tiny_pipeline):
+    """remainder='exact' runs the short final chunk unpadded (no wasted
+    scan compute); count and shapes still honor the request."""
+    imgs = tiny_pipeline.sample_latent_cond(
+        (1, 5), image_hw=(32, 32), to_pil=False, batch_size=2,
+        key=jax.random.PRNGKey(3), remainder="exact",
+    )
+    assert imgs.shape == (5, 32, 32, 3)
+    import pytest
+
+    with pytest.raises(ValueError):
+        tiny_pipeline.sample_latent_cond(
+            (1, 2), image_hw=(32, 32), to_pil=False, batch_size=2,
+            remainder="bogus",
+        )
+
+
 def test_sample_latent_decode_false_returns_latents(tiny_pipeline):
     z = tiny_pipeline.sample_latent(3, image_hw=(32, 32), decode=False)
     assert z.shape == (3, 4, 4, 4)
