@@ -93,6 +93,10 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler):
                 if sampler not in ("ddpm", "ddim"):
                     raise ValueError("sampler must be 'ddpm' or 'ddim'")
                 tic = time.time()
+                # Static-shape bucketing: every request runs the warmed
+                # max_batch program (short requests padded, padding
+                # discarded) — one compilation serves all counts instead
+                # of one multi-minute compile per distinct count.
                 images = pipeline.sample_latent_cond(
                     (class_id, count),
                     cond=cond,
@@ -102,6 +106,8 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler):
                     method=sampler,
                     num_inference_steps=int(
                         req.get("num_inference_steps", 50)),
+                    batch_size=max_batch,
+                    remainder="pad",
                 )
                 out = []
                 for img in images:
