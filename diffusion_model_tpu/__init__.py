@@ -27,3 +27,17 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("DIFFUSION_TPU_PLATFORM"):
+    # Hard backend override (e.g. DIFFUSION_TPU_PLATFORM=cpu). Needed
+    # because out-of-tree PJRT plugins (like the axon TPU tunnel) can
+    # register themselves regardless of JAX_PLATFORMS, so the standard env
+    # var silently fails to keep a side job off the TPU. Setting the config
+    # key here is early enough: JAX initializes backends lazily on first
+    # device use, which is always after package import.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms",
+                       _os.environ["DIFFUSION_TPU_PLATFORM"])
