@@ -455,6 +455,7 @@ def train_latent_cond(cfg: LatentTrainConfig,
     timer = StepTimer()
     train_losses, val_losses = [], []
     best_batch_loss = float("inf")  # global, not per-epoch (bug fix)
+    rolling_dirty = False
     start = time.time()
     profile_ctx = trace(cfg.profile_dir)
     profile_ctx.__enter__()
@@ -477,12 +478,17 @@ def train_latent_cond(cfg: LatentTrainConfig,
                 losses.append(m["loss"])
                 timer.tick(batch["image"].shape[0])
         epoch_losses = np.asarray(jax.device_get(losses), dtype=np.float64)
-        # rolling best checkpoint, written at most once per epoch (the
-        # reference writes ~100 MB per improving batch,
-        # train_latent_cond.py:168-170 — host I/O would stall the device)
+        # Rolling best checkpoint, gated on ckpt_interval (the reference
+        # writes ~100 MB per improving batch, train_latent_cond.py:168-170;
+        # even once per epoch, the params fetch through the axon tunnel is
+        # ~4 s — see LatentTrainConfig.ckpt_interval).
+        ckpt_epoch = (epoch % cfg.ckpt_interval == 0) or epoch == cfg.epochs
         if epoch_losses.size and float(epoch_losses.min()) < best_batch_loss:
             best_batch_loss = float(epoch_losses.min())
+            rolling_dirty = True
+        if ckpt_epoch and rolling_dirty:
             save_params(rolling_path, state.params)
+            rolling_dirty = False
         train_loss = float(epoch_losses.mean()) if epoch_losses.size else 0.0
         train_losses.append(train_loss)
 
@@ -529,7 +535,7 @@ def train_latent_cond(cfg: LatentTrainConfig,
                     steps_per_sec=round(perf["steps_per_sec"], 3),
                     images_per_sec=round(perf["items_per_sec"], 2),
                     elapsed_s=time.time() - start, **val_extra)
-        if manager is not None:
+        if manager is not None and ckpt_epoch:
             manager.save(epoch, {"state": jax.device_get(state),
                                  "epoch": epoch}, force=True)
 

@@ -350,7 +350,8 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
                     elapsed_s=time.time() - start)
         print(f"[Epoch {epoch:03d}] train={train_loss:.6f}  "
               f"val={val_loss:.6f}")
-        if manager is not None:
+        if manager is not None and (
+                epoch % cfg.ckpt_interval == 0 or epoch == cfg.epochs):
             manager.save(epoch, {"state": jax.device_get(current["state"]),
                                  "epoch": epoch}, force=True)
 
