@@ -124,11 +124,14 @@ def attention_block_reference(
 
 
 def _block_body_batched(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
-                        num_heads: int, dt, gelu_fn) -> jnp.ndarray:
+                        num_heads: int, dt, gelu_fn,
+                        planted_c: Optional[int] = None) -> jnp.ndarray:
     """The full block on an (R, T, C) row block with the dense projections
     flattened to single (R·T, C) MXU matmuls and the per-head score/value
     contractions batched over R — same per-element reduction order as the
-    per-row version, so numerics match.
+    per-row version, so numerics match. ``planted_c`` (the real channel
+    count) activates the planted-sum Σe-on-MXU variant for C < 128 — see
+    the inline comment at the PV contraction.
 
     Round 2 ran an unrolled per-row loop here; at these token counts the
     per-row matmuls (M = T ≤ 784, K as small as 16 per head) left the MXU
@@ -178,21 +181,43 @@ def _block_body_batched(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
     #     result matches normalize-then-cast to bf16 rounding.
     inv_sqrt_dh = 1.0 / float(dh) ** 0.5
     qs = (q.astype(jnp.float32) * inv_sqrt_dh).astype(dt)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, q.shape[-1]), 2)
     ctx = None
     for h in range(num_heads):
         maskh = ((lane // dh) == h).astype(dt)
         qh = qs * maskh
-        vh = v * maskh
         scores = jnp.einsum(
             "rtc,rsc->rts", qh, k, preferred_element_type=jnp.float32,
         )
-        e = jnp.exp(scores - scores.max(axis=-1, keepdims=True))
-        part = jnp.einsum(
-            "rts,rsc->rtc", e.astype(dt), vh,
-            preferred_element_type=jnp.float32,
-        )
-        part = part * jax.lax.reciprocal(e.sum(axis=-1, keepdims=True))
+        if planted_c is not None:
+            # Planted-sum path (bf16, C < 128): q/k/v come in at per-part
+            # width 128 (lanes >= C zero; see _extend_params_planted), and
+            # v carries a constant-1.0 lane at index C — planted via the
+            # extended bias. Masking that lane into each head's v makes the
+            # PV matmul emit the softmax denominator Σe in lane C for FREE
+            # (those lanes are MXU padding anyway), so the VPU sum-reduce
+            # pass over the (R, T, T) score block disappears, and exp can
+            # cast straight to bf16 (the baseline materialized f32 e and
+            # read it twice: Σ-reduce + cast). Σ moves from a VPU f32 tree
+            # to f32 MXU accumulation of bf16 e — measured parity with the
+            # baseline kernel vs the XLA reference (same maxdiff).
+            vmask = (((lane // dh) == h) | (lane == planted_c)).astype(dt)
+            e = jnp.exp(
+                scores - scores.max(axis=-1, keepdims=True)).astype(dt)
+            part_ext = jnp.einsum(
+                "rts,rsc->rtc", e, v * vmask,
+                preferred_element_type=jnp.float32,
+            )
+            denom = part_ext[..., planted_c:planted_c + 1]
+            part = part_ext * jax.lax.reciprocal(denom)
+        else:
+            vh = v * maskh
+            e = jnp.exp(scores - scores.max(axis=-1, keepdims=True))
+            part = jnp.einsum(
+                "rts,rsc->rtc", e.astype(dt), vh,
+                preferred_element_type=jnp.float32,
+            )
+            part = part * jax.lax.reciprocal(e.sum(axis=-1, keepdims=True))
         ctx = part if ctx is None else ctx + part
     attn_out = mm(ctx.astype(dt), p["out_w"], p["out_b"])
 
@@ -203,18 +228,43 @@ def _block_body_batched(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
     return ff + h
 
 
-def _attn_kernel(x_ref, *refs, num_heads: int):
+def _attn_kernel(x_ref, *refs, num_heads: int, planted_c: Optional[int]):
     param_refs, o_ref = refs[:-1], refs[-1]
     p = {k: r[:] for k, r in zip(PARAM_KEYS, param_refs)}
     x = x_ref[:]
     gelu_fn = gelu_exact
     if x.dtype == jnp.bfloat16:
-        out = _block_body_batched(x, p, num_heads, jnp.bfloat16, gelu_fn)
+        out = _block_body_batched(x, p, num_heads, jnp.bfloat16, gelu_fn,
+                                  planted_c=planted_c)
     else:
         with jax.default_matmul_precision("highest"):
             out = _block_body_batched(x.astype(jnp.float32), p, num_heads,
                                       jnp.float32, gelu_fn)
     o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _extend_params_planted(params: Dict[str, jnp.ndarray], C: int,
+                           P: int = 128) -> Dict[str, jnp.ndarray]:
+    """Widen qkv/out weights to per-part lane-tile width ``P`` and plant a
+    constant 1.0 in v's bias at lane index C. Lanes >= C of q/k/v are zeros
+    (so scores and masked heads are unchanged), except v's lane C, which
+    becomes a constant 1 column whose PV product is Σe (the softmax
+    denominator). out_w gets zero rows >= C, killing the planted lane on
+    the way out — no lane slicing or masking needed. The extension is
+    loop-invariant in a sampling scan (params are constants), so XLA
+    hoists it: zero per-step cost."""
+    qw, qb = params["qkv_w"], params["qkv_b"]
+    qkv_w = jnp.zeros((C, 3 * P), qw.dtype)
+    qkv_b = jnp.zeros((3 * P,), qb.dtype)
+    for part in range(3):
+        qkv_w = qkv_w.at[:, part * P:part * P + C].set(
+            qw[:, part * C:(part + 1) * C])
+        qkv_b = qkv_b.at[part * P:part * P + C].set(
+            qb[part * C:(part + 1) * C])
+    qkv_b = qkv_b.at[2 * P + C].set(1.0)
+    out_w = jnp.zeros((P, C), params["out_w"].dtype)
+    out_w = out_w.at[:C].set(params["out_w"])
+    return dict(params, qkv_w=qkv_w, qkv_b=qkv_b, out_w=out_w)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -224,6 +274,9 @@ def _attention_pallas_jit(
 ) -> jnp.ndarray:
     """Pallas fused block: grid over batch rows, (R, T, C) + params in VMEM."""
     B, T, C = x.shape
+    planted_c = C if (x.dtype == jnp.bfloat16 and C < 128) else None
+    if planted_c is not None:
+        params = _extend_params_planted(params, C)
     plist = [params[k] for k in PARAM_KEYS]
     act_bytes = 2 if x.dtype == jnp.bfloat16 else 4
     # The whole working set scales with R in the batched-matmul kernel:
@@ -244,7 +297,8 @@ def _attention_pallas_jit(
             pl.BlockSpec(a.shape, (lambda i, n=a.ndim: (0,) * n))
         )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, num_heads=num_heads),
+        functools.partial(_attn_kernel, num_heads=num_heads,
+                          planted_c=planted_c),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(B // R,),
         in_specs=in_specs,

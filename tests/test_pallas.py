@@ -173,6 +173,22 @@ def test_attention_pallas_forward_parity(dtype, num_heads):
     )
 
 
+def test_attention_pallas_planted_sum_parity():
+    """bf16 with C < 128 takes the planted-sum path (Σe rides the PV
+    matmul's padding lanes — ops/attention.py::_extend_params_planted);
+    parity vs the XLA reference at the production sa5/sa6 channel count."""
+    B, T, C = 2, 49, 64
+    k = jax.random.PRNGKey(3)
+    x = jax.random.normal(k, (B, T, C)).astype(jnp.bfloat16)
+    params = _attn_params(jax.random.fold_in(k, 11), C)
+    got = attention_block_pallas(x, params, 4)
+    want = attention_block_reference(x, params, num_heads=4)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        **_tol(jnp.bfloat16),
+    )
+
+
 @pytest.mark.heavy
 def test_attention_pallas_grad_parity():
     B, T, C = 1, 9, 16
