@@ -12,11 +12,16 @@ Prints exactly one JSON line (the driver contract):
   {"metric": "cond_gen_images_per_sec", "value": N, "unit": "images/sec/chip",
    "vs_baseline": N / 0.0110, ...extras}
 
-``value`` is the MEAN over ``reps`` (default 5) timed runs after one
-compile+warmup run; min/max/std are reported so the headline is defensible
-against run-to-run variance (VERDICT r1 weak #4). ``tflops_per_sec`` comes
-from an analytic FLOP count of the whole program (2B CFG U-Net forwards ×
-T steps + whole-batch VAE decode).
+``value`` is the SUSTAINED throughput of one ``reps×batch``-image request
+processed in ``batch``-size chunks (round 3 on): the pipeline dispatches
+chunk i+1 before fetching chunk i, so the device→host image fetch (~0.45 s
+per 64-image uint8 chunk through the axon tunnel) overlaps compute — the
+shape of the reference workload (500 images/class in batches,
+generate_cond.py:51). Serialized per-batch latency reps (mean/min/std,
+round-2's headline methodology) are reported alongside so cross-round
+comparisons stay possible. ``tflops_per_sec`` comes from an analytic FLOP
+count of the whole program (2B CFG U-Net forwards × T steps + whole-batch
+VAE decode).
 
 Env overrides: BENCH_BATCH (default 64), BENCH_REPS (default 5),
 BENCH_SWEEP=1 adds a batch sweep [32, 64, 128, 256] to the extras,
@@ -151,26 +156,36 @@ def build_pipeline():
 
 def time_batch(pipe, batch: int, reps: int, key, method: str = "ddpm",
                steps: int = 0) -> dict:
-    def run(k):
+    def run(k, count, chunk):
         # quantize=True: uint8 conversion on device — the production save
         # path's output format (reverse_to_img parity) and 4× less
         # device→host transfer than f32 images
         return pipe.sample_latent_cond(
-            (1, batch), guidance_scale=3.0, key=k, to_pil=False,
+            (1, count), guidance_scale=3.0, key=k, to_pil=False,
             image_hw=(224, 224), quantize=True, method=method,
-            num_inference_steps=steps,
+            num_inference_steps=steps, batch_size=chunk,
         )
 
     t0 = time.time()
-    run(key)  # compile + warmup
+    run(key, batch, 0)  # compile + warmup
     compile_s = time.time() - t0
 
+    # single-batch latency reps (dispatch → fetch, serialized)
     times = []
     for i in range(reps):
         t0 = time.time()
-        run(jax.random.fold_in(key, i + 2))
+        run(jax.random.fold_in(key, i + 2), batch, 0)
         times.append(time.time() - t0)
     times = np.asarray(times)
+
+    # steady-state throughput: ONE call generating reps×batch images in
+    # batch-size chunks — the pipeline dispatch-ahead overlaps each chunk's
+    # device→host fetch with the next chunk's scan, which is exactly the
+    # reference workload shape (500 images/class in batches,
+    # generate_cond.py:51). This is the headline number.
+    t0 = time.time()
+    run(jax.random.fold_in(key, 1000), batch * reps, batch)
+    steady_s = time.time() - t0
     return {
         "batch": batch,
         "compile_s": round(compile_s, 1),
@@ -180,6 +195,9 @@ def time_batch(pipe, batch: int, reps: int, key, method: str = "ddpm",
         "run_s_std": round(float(times.std()), 3),
         "ips_mean": round(batch / float(times.mean()), 3),
         "ips_best": round(batch / float(times.min()), 3),
+        "steady_s": round(steady_s, 3),
+        "steady_batches": reps,
+        "ips_steady": round(batch * reps / steady_s, 3),
     }
 
 
@@ -230,8 +248,11 @@ def main():
     n_chips = max(1, len(jax.devices()))
 
     head = time_batch(pipe, batch, reps, key)
-    ips = head["ips_mean"] / n_chips
-    tflops = run_flops(batch) / (head["run_s_mean"] * 1e12) / n_chips
+    # Headline = sustained throughput over reps×batch images (fetch
+    # overlapped with compute); per-batch latency reps reported alongside.
+    ips = head["ips_steady"] / n_chips
+    steady_rate = head["steady_s"] / head["steady_batches"]
+    tflops = run_flops(batch) / (steady_rate * 1e12) / n_chips
 
     extras = {}
     if os.environ.get("BENCH_DDIM", "0") == "1":
@@ -264,7 +285,10 @@ def main():
         "run_s_mean": head["run_s_mean"],
         "run_s_min": head["run_s_min"],
         "run_s_std": head["run_s_std"],
+        "ips_latency_mean": round(head["ips_mean"] / n_chips, 3),
         "ips_best": round(head["ips_best"] / n_chips, 3),
+        "steady_s": head["steady_s"],
+        "steady_batches": head["steady_batches"],
         "tflops_per_sec": round(tflops, 2),
         "analytic_tflops_per_run": round(run_flops(batch) / 1e12, 2),
         **extras,

@@ -318,9 +318,15 @@ class DiffusionPipeline:
             out = run(self.unet_params, self.vae_params, x_init,
                       jax.random.fold_in(ck, 1), args["y"], args["vals"],
                       args["mask"])
-            out = np.asarray(out)[: n]
-            chunks.append(out)
-        result = np.concatenate(chunks, axis=0)
+            # Dispatch-ahead: keep the result on device and queue the next
+            # chunk's scan immediately (JAX async dispatch). The device→host
+            # fetch of chunk i then overlaps chunk i+1's compute — through
+            # the axon tunnel (~21 MB/s) the fetch is ~0.45 s per 64-image
+            # uint8 chunk, pure latency if serialized. Held per-chunk device
+            # buffers are small (uint8 images or latents).
+            chunks.append((out, n))
+        result = np.concatenate(
+            [np.asarray(out)[:n] for out, n in chunks], axis=0)
         if decode and to_pil:
             return to_pil_list(result)
         return result
