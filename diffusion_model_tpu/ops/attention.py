@@ -31,6 +31,7 @@ Parameter dict layout (all float32):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional
 
 import jax
@@ -125,7 +126,9 @@ def attention_block_reference(
 
 def _block_body_batched(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
                         num_heads: int, dt, gelu_fn,
-                        planted_c: Optional[int] = None) -> jnp.ndarray:
+                        planted_c: Optional[int] = None,
+                        t_chunk: Optional[int] = None,
+                        bf16_scores: bool = False) -> jnp.ndarray:
     """The full block on an (R, T, C) row block with the dense projections
     flattened to single (R·T, C) MXU matmuls and the per-head score/value
     contractions batched over R — same per-element reduction order as the
@@ -182,43 +185,85 @@ def _block_body_batched(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
     inv_sqrt_dh = 1.0 / float(dh) ** 0.5
     qs = (q.astype(jnp.float32) * inv_sqrt_dh).astype(dt)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, q.shape[-1]), 2)
-    ctx = None
-    for h in range(num_heads):
-        maskh = ((lane // dh) == h).astype(dt)
-        qh = qs * maskh
-        scores = jnp.einsum(
-            "rtc,rsc->rts", qh, k, preferred_element_type=jnp.float32,
-        )
-        if planted_c is not None:
-            # Planted-sum path (bf16, C < 128): q/k/v come in at per-part
-            # width 128 (lanes >= C zero; see _extend_params_planted), and
-            # v carries a constant-1.0 lane at index C — planted via the
-            # extended bias. Masking that lane into each head's v makes the
-            # PV matmul emit the softmax denominator Σe in lane C for FREE
-            # (those lanes are MXU padding anyway), so the VPU sum-reduce
-            # pass over the (R, T, T) score block disappears, and exp can
-            # cast straight to bf16 (the baseline materialized f32 e and
-            # read it twice: Σ-reduce + cast). Σ moves from a VPU f32 tree
-            # to f32 MXU accumulation of bf16 e — measured parity with the
-            # baseline kernel vs the XLA reference (same maxdiff).
-            vmask = (((lane // dh) == h) | (lane == planted_c)).astype(dt)
-            e = jnp.exp(
-                scores - scores.max(axis=-1, keepdims=True)).astype(dt)
-            part_ext = jnp.einsum(
-                "rts,rsc->rtc", e, v * vmask,
-                preferred_element_type=jnp.float32,
+    # Max-subtraction elision (bf16 only): softmax conventionally computes
+    # exp(s - max(s)) for overflow safety, paying a lane reduce + subtract
+    # pass over the (R, T, T) score block per head — its two most expensive
+    # VPU passes. bf16 shares f32's exponent range (8 bits), so exp only
+    # overflows past ~88 and a single clip at ±80 (one pass, fusable into
+    # the exp input) makes overflow impossible; relative precision of bf16
+    # e-values is scale-invariant (2^-8 mantissa), so e/Σe ratios match the
+    # max-subtracted version to the same rounding. The clip's lower bound
+    # also rules out a zero denominator: exp(-80) ≈ 1.8e-35 is a normal
+    # bf16/f32 value, so Σe ≥ T·1.8e-35 > 0 always. The f32 path keeps
+    # max-sub for exact torch-reference parity.
+    exp_nomax = dt == jnp.bfloat16
+    softmax_exp = (
+        (lambda s: jnp.exp(jnp.clip(s, -80.0, 80.0)))
+        if exp_nomax else
+        (lambda s: jnp.exp(s - s.max(axis=-1, keepdims=True)))
+    )
+    # bf16 scores (env DIFFUSION_TPU_ATTN_BF16_SCORES, planted path only):
+    # the MXU still accumulates QKᵀ in f32 but emits bf16 — halves the
+    # score block's VMEM and lets clip+exp run on bf16. Softmax weights
+    # pick up ~|s|·2⁻⁸ relative error, so this is opt-in until certified
+    # on the quality metrics.
+    score_pet = (jnp.bfloat16 if (bf16_scores and planted_c is not None)
+                 else jnp.float32)
+    masks = [((lane // dh) == h).astype(dt) for h in range(num_heads)]
+    vmasks = [
+        (((lane // dh) == h) | (lane == planted_c)).astype(dt)
+        for h in range(num_heads)
+    ] if planted_c is not None else None
+    # Query-axis chunking: scores are computed in (R, tc, T) slabs — the
+    # t-rows of softmax are independent, so chunking over t is numerically
+    # IDENTICAL to the full (R, T, T) block (unlike s-chunking, which
+    # would need flash-style running accumulators and changes the f32
+    # summation order). Its only purpose is VMEM: the score block is the
+    # kernel's largest tensor, and shrinking it lets rows_per_step pack
+    # R=2 batch rows per grid step at T=784 (half the grid steps, half
+    # the per-step fixed overhead).
+    tc = t_chunk if t_chunk else T
+    ctx_chunks = []
+    for t0 in range(0, T, tc):
+        ctx_c = None
+        for h in range(num_heads):
+            qh = qs[:, t0:t0 + tc, :] * masks[h]
+            scores = jnp.einsum(
+                "rtc,rsc->rts", qh, k, preferred_element_type=score_pet,
             )
-            denom = part_ext[..., planted_c:planted_c + 1]
-            part = part_ext * jax.lax.reciprocal(denom)
-        else:
-            vh = v * maskh
-            e = jnp.exp(scores - scores.max(axis=-1, keepdims=True))
-            part = jnp.einsum(
-                "rts,rsc->rtc", e.astype(dt), vh,
-                preferred_element_type=jnp.float32,
-            )
-            part = part * jax.lax.reciprocal(e.sum(axis=-1, keepdims=True))
-        ctx = part if ctx is None else ctx + part
+            if planted_c is not None:
+                # Planted-sum path (bf16, C < 128): q/k/v come in at
+                # per-part width 128 (lanes >= C zero; see
+                # _extend_params_planted), and v carries a constant-1.0
+                # lane at index C — planted via the extended bias. Masking
+                # that lane into each head's v makes the PV matmul emit
+                # the softmax denominator Σe in lane C for FREE (those
+                # lanes are MXU padding anyway), so the VPU sum-reduce
+                # pass over the score block disappears, and exp can cast
+                # straight to bf16 (the baseline materialized f32 e and
+                # read it twice: Σ-reduce + cast). Σ moves from a VPU f32
+                # tree to f32 MXU accumulation of bf16 e — measured parity
+                # with the baseline kernel vs the XLA reference.
+                e = softmax_exp(scores).astype(dt)
+                part_ext = jnp.einsum(
+                    "rts,rsc->rtc", e, v * vmasks[h],
+                    preferred_element_type=jnp.float32,
+                )
+                denom = part_ext[..., planted_c:planted_c + 1]
+                part = part_ext * jax.lax.reciprocal(denom)
+            else:
+                vh = v * masks[h]
+                e = softmax_exp(scores)
+                part = jnp.einsum(
+                    "rts,rsc->rtc", e.astype(dt), vh,
+                    preferred_element_type=jnp.float32,
+                )
+                part = part * jax.lax.reciprocal(
+                    e.sum(axis=-1, keepdims=True))
+            ctx_c = part if ctx_c is None else ctx_c + part
+        ctx_chunks.append(ctx_c)
+    ctx = (ctx_chunks[0] if len(ctx_chunks) == 1
+           else jnp.concatenate(ctx_chunks, axis=1))
     attn_out = mm(ctx.astype(dt), p["out_w"], p["out_b"])
 
     h = attn_out + xn  # reference quirk: residual uses the normed tensor
@@ -228,18 +273,20 @@ def _block_body_batched(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
     return ff + h
 
 
-def _attn_kernel(x_ref, *refs, num_heads: int, planted_c: Optional[int]):
+def _attn_kernel(x_ref, *refs, num_heads: int, planted_c: Optional[int],
+                 t_chunk: Optional[int], bf16_scores: bool):
     param_refs, o_ref = refs[:-1], refs[-1]
     p = {k: r[:] for k, r in zip(PARAM_KEYS, param_refs)}
     x = x_ref[:]
     gelu_fn = gelu_exact
     if x.dtype == jnp.bfloat16:
         out = _block_body_batched(x, p, num_heads, jnp.bfloat16, gelu_fn,
-                                  planted_c=planted_c)
+                                  planted_c=planted_c, t_chunk=t_chunk,
+                                  bf16_scores=bf16_scores)
     else:
         with jax.default_matmul_precision("highest"):
             out = _block_body_batched(x.astype(jnp.float32), p, num_heads,
-                                      jnp.float32, gelu_fn)
+                                      jnp.float32, gelu_fn, t_chunk=t_chunk)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -267,10 +314,11 @@ def _extend_params_planted(params: Dict[str, jnp.ndarray], C: int,
     return dict(params, qkv_w=qkv_w, qkv_b=qkv_b, out_w=out_w)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                              "bf16_scores"))
 def _attention_pallas_jit(
     x: jnp.ndarray, params: Dict[str, jnp.ndarray], num_heads: int,
-    interpret: bool,
+    interpret: bool, bf16_scores: bool = False,
 ) -> jnp.ndarray:
     """Pallas fused block: grid over batch rows, (R, T, C) + params in VMEM."""
     B, T, C = x.shape
@@ -279,18 +327,37 @@ def _attention_pallas_jit(
         params = _extend_params_planted(params, C)
     plist = [params[k] for k in PARAM_KEYS]
     act_bytes = 2 if x.dtype == jnp.bfloat16 else 4
+    score_bytes = 2 if (bf16_scores and planted_c is not None) else 4
     # The whole working set scales with R in the batched-matmul kernel:
-    # double-buffered (R, T, C) I/O blocks, the (R, T, T) f32+dt score
+    # double-buffered (R, T, C) I/O blocks, the (R, tc, T) score + softmax
     # blocks, qkv/ctx/FF intermediates, and f32 LN temporaries. Channel
     # counts are padded to 128 lanes (Mosaic layout) before costing.
     c_lane = max(128, -(-C // 128) * 128)
-    row_bytes = (
-        T * T * (4 + act_bytes)              # scores f32 + softmax in dt
-        + 10 * T * c_lane * act_bytes        # qkv(3C)+ctx+attn_out+FF blocks
-        + 2 * T * c_lane * 4                 # f32 LN temporaries
-        + 4 * T * c_lane * act_bytes         # double-buffered I/O
-    )
-    R = rows_per_step(B, row_bytes, budget=12 * 1024 * 1024, cap=32)
+
+    def row_bytes_for(tc):
+        return (
+            tc * T * (score_bytes + act_bytes)   # scores + softmax in dt
+            + 10 * T * c_lane * act_bytes        # qkv(3C)+ctx+attn_out+FF
+            + 2 * T * c_lane * 4                 # f32 LN temporaries
+            + 4 * T * c_lane * act_bytes         # double-buffered I/O
+        )
+
+    budget = 12 * 1024 * 1024
+    t_chunk = None
+    R = rows_per_step(B, row_bytes_for(T), budget=budget, cap=32)
+    if R == 1:
+        # The full-T score block forces one batch row per grid step (sa6:
+        # T=784 → 3.7 MB of scores alone). Chunking the query axis keeps
+        # numerics identical and shrinks the block until two rows fit —
+        # half the grid steps, half the per-step fixed overhead.
+        for div in (2, 4):
+            tc = T // div
+            if T % div == 0 and tc % 8 == 0:
+                R2 = rows_per_step(B, row_bytes_for(tc), budget=budget,
+                                   cap=32)
+                if R2 > R:
+                    R, t_chunk = R2, tc
+                    break
     in_specs = [pl.BlockSpec((R, T, C), lambda i: (i, 0, 0))]
     for a in plist:
         in_specs.append(
@@ -298,7 +365,8 @@ def _attention_pallas_jit(
         )
     out = pl.pallas_call(
         functools.partial(_attn_kernel, num_heads=num_heads,
-                          planted_c=planted_c),
+                          planted_c=planted_c, t_chunk=t_chunk,
+                          bf16_scores=bf16_scores),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(B // R,),
         in_specs=in_specs,
@@ -309,7 +377,10 @@ def _attention_pallas_jit(
 
 
 def _attention_pallas_raw(x, params, num_heads: int = 4):
-    return _attention_pallas_jit(x, params, num_heads, pallas_interpret())
+    bf16_scores = os.environ.get(
+        "DIFFUSION_TPU_ATTN_BF16_SCORES", "0") == "1"
+    return _attention_pallas_jit(x, params, num_heads, pallas_interpret(),
+                                 bf16_scores)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -324,6 +324,13 @@ class DiffusionPipeline:
             # the axon tunnel (~21 MB/s) the fetch is ~0.45 s per 64-image
             # uint8 chunk, pure latency if serialized. Held per-chunk device
             # buffers are small (uint8 images or latents).
+            # copy_to_host_async() starts each chunk's transfer the moment
+            # its compute finishes instead of when np.asarray is reached —
+            # without it the first fetches wait behind the whole dispatch
+            # loop and only partially overlap (measured ~1.4 s residual on a
+            # 5×64 steady-state run; ~3 unoverlapped fetches).
+            if hasattr(out, "copy_to_host_async"):
+                out.copy_to_host_async()
             chunks.append((out, n))
         result = np.concatenate(
             [np.asarray(out)[:n] for out, n in chunks], axis=0)

@@ -83,6 +83,39 @@ def timed(pipe, batch, reps, guidance, decode, key, quantize=False):
             "ips": round(batch / float(ts.mean()), 3)}
 
 
+def timed_nofetch(pipe, batch, reps, guidance, key):
+    """Full pipeline (scan + CFG + decode + on-device uint8) with the
+    device→host fetch EXCLUDED: the output stays on device and we block on
+    it, transferring nothing but completion. Splits the axon tunnel's
+    ~21 MB/s fetch term out of the batch-scaling curve (VERDICT r2 #6) —
+    this is the number a directly-attached TPU host would see."""
+    run = pipe._sampler(guidance, True, snapshots=False, method="ddpm",
+                        num_inference_steps=0, eta=0.0, quantize=True)
+
+    def go(k):
+        x_init = jax.random.normal(k, (batch, 28, 28, 4), dtype=jnp.float32)
+        y = jnp.ones((batch,), jnp.int32)
+        vals = jnp.zeros((batch, 12))
+        mask = jnp.zeros((batch, 12))
+        out = run(pipe.unet_params, pipe.vae_params, x_init,
+                  jax.random.fold_in(k, 1), y, vals, mask)
+        jax.block_until_ready(out)
+
+    t0 = time.time()
+    go(key)
+    compile_s = time.time() - t0
+    ts = []
+    for i in range(reps):
+        t0 = time.time()
+        go(jax.random.fold_in(key, i + 1))
+        ts.append(time.time() - t0)
+    ts = np.asarray(ts)
+    return {"compile_s": round(compile_s, 1),
+            "mean_s": round(float(ts.mean()), 3),
+            "min_s": round(float(ts.min()), 3),
+            "ips": round(batch / float(ts.mean()), 3)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[64, 128, 256])
@@ -90,6 +123,8 @@ def main():
     ap.add_argument("--timesteps", type=int, default=1000)
     ap.add_argument("--trace_dir", default=None)
     ap.add_argument("--skip_ablations", action="store_true")
+    ap.add_argument("--no_fetch", action="store_true",
+                    help="add the fetch-excluded full-pipeline ablation")
     args = ap.parse_args()
 
     pipe = build(args.timesteps)
@@ -103,6 +138,9 @@ def main():
     for b in args.batches:
         row = {"A_full": timed(pipe, b, args.reps, 3.0, True,
                                jax.random.fold_in(key, b))}
+        if args.no_fetch:
+            row["E_no_fetch"] = timed_nofetch(pipe, b, args.reps, 3.0,
+                                              jax.random.fold_in(key, b + 3))
         if not args.skip_ablations:
             row["A_quantized"] = timed(pipe, b, args.reps, 3.0, True,
                                        jax.random.fold_in(key, b),

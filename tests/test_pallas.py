@@ -189,6 +189,35 @@ def test_attention_pallas_planted_sum_parity():
     )
 
 
+def test_attention_pallas_query_chunked_parity():
+    """At the sa6 shape (T=784, C=64) the full score block forces one row
+    per grid step, so the kernel activates query-axis chunking (R=2,
+    tc=392 — ops/attention.py::_attention_pallas_jit). Chunking over t is
+    numerically identical to the full block; parity vs the XLA reference
+    at the exact production shape, plus the bf16-scores opt-in variant at
+    a looser tolerance (softmax weights pick up ~|s|·2⁻⁸ relative error)."""
+    from diffusion_model_tpu.ops.attention import _attention_pallas_jit
+    from diffusion_model_tpu.utils.env import pallas_interpret
+
+    B, T, C = 2, 784, 64
+    k = jax.random.PRNGKey(5)
+    x = jax.random.normal(k, (B, T, C)).astype(jnp.bfloat16)
+    params = _attn_params(jax.random.fold_in(k, 13), C)
+    want = attention_block_reference(x, params, num_heads=4)
+    got = attention_block_pallas(x, params, 4)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        **_tol(jnp.bfloat16),
+    )
+    got_b16 = _attention_pallas_jit(x, params, 4, pallas_interpret(),
+                                    bf16_scores=True)
+    tol = _tol(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got_b16, np.float32), np.asarray(want, np.float32),
+        rtol=tol["rtol"] * 4, atol=tol["atol"] * 4,
+    )
+
+
 @pytest.mark.heavy
 def test_attention_pallas_grad_parity():
     B, T, C = 1, 9, 16
