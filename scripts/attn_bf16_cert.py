@@ -1,0 +1,110 @@
+"""Certify the bf16-attention-scores fast path on the quality metrics.
+
+``DIFFUSION_TPU_ATTN_BF16_SCORES=1`` lets the attention kernel's QKᵀ MXU
+matmul emit bf16 (f32 accumulation, bf16 rounding on output): softmax
+weights pick up ~|s|·2⁻⁸ relative error, so the mode stays opt-in until
+this certification shows the IoU/noise metrics hold. Generates the
+standard DDPM-1000 per-class set from an existing trained checkpoint with
+the flag ON and evaluates with the same pipeline as the quality runs;
+compare against the checkpoint's stored DDPM metrics (f32 scores).
+
+Usage:
+  python scripts/attn_bf16_cert.py --root ./quality_r2 \
+      --ckpt ./model_para/trained_para_cont.msgpack
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["DIFFUSION_TPU_ATTN_BF16_SCORES"] = "1"
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="./quality_r2")
+    ap.add_argument("--ckpt", default="./model_para/trained_para_cont.msgpack")
+    ap.add_argument("--gen_count", type=int, default=200)
+    ap.add_argument("--guidance", type=float, default=3.0)
+    ap.add_argument("--image_size", type=int, default=224)
+    ap.add_argument("--ddpm_summary", default="./continue_summary.json",
+                    help="summary holding this checkpoint's f32-scores "
+                         "DDPM metrics for the comparison table")
+    args = ap.parse_args()
+    os.chdir(os.path.abspath(args.root))
+
+    import glob
+
+    from diffusion_model_tpu.config import LatentTrainConfig
+    from diffusion_model_tpu.data.geometry import CLASS_NAMES
+    from diffusion_model_tpu.diffusion import DiffusionSchedule
+    from diffusion_model_tpu.eval import evaluate_dirs
+    from diffusion_model_tpu.pipeline import (
+        CsvConditionSampler, DiffusionPipeline,
+    )
+    from diffusion_model_tpu.train.recorder import save_images
+    from diffusion_model_tpu.train.train_latent import build_models
+
+    hw = (args.image_size, args.image_size)
+    sfx = f"{hw[0]}x{hw[1]}"
+    vae_ckpt = sorted(glob.glob("./vae/*/vae_best.msgpack"))[-1]
+    vae, unet = build_models(LatentTrainConfig())
+    pipe = DiffusionPipeline.from_checkpoints(
+        unet_ckpt=args.ckpt, vae_ckpt=vae_ckpt, unet=unet, vae=vae,
+        schedule=DiffusionSchedule.create(1000),
+        latent_hw=(hw[0] // 8, hw[1] // 8), image_hw=hw,
+    )
+    sampler = CsvConditionSampler(pipe, class_id=1, image_hw=hw)
+
+    log = {"config": vars(args), "vae_ckpt": vae_ckpt,
+           "attn_bf16_scores": True}
+    t0 = time.time()
+    metrics = {}
+    for cls, cname in CLASS_NAMES.items():
+        d = f"./data/{cname}_{sfx}_test"
+        cls_dir = f"./generated_by_cond/attn_bf16/{cname}"
+        os.makedirs(cls_dir, exist_ok=True)
+        sampler.set_class_id(cls)
+        tg = time.time()
+        imgs = sampler.sample(
+            f"{d}/{cname}_{sfx}_test.csv", count=args.gen_count,
+            guidance_scale=args.guidance, key=jax.random.PRNGKey(100 + cls),
+        )
+        save_images(cls_dir, imgs)
+        gen_s = time.time() - tg
+        res = evaluate_dirs(gt_dir=d, gen_dir=cls_dir,
+                            out_dir=f"./eval_result/{cname}_attn_bf16",
+                            threshold=128, invert=True, sigma=2.0,
+                            save_diff=False)
+        s = res["summary"].iloc[0]
+        metrics[cname] = {
+            k: round(float(s[k]), 4)
+            for k in ("iou_mean", "gt_iou_mean", "far_noise_ratio_mean",
+                      "gauss_recall_mean", "gauss_recall_median")
+        }
+        metrics[cname]["gen_s"] = round(gen_s, 1)
+        print(cname, metrics[cname], flush=True)
+    log["bf16_scores_metrics"] = metrics
+    log["total_s"] = round(time.time() - t0, 1)
+
+    if os.path.exists(args.ddpm_summary):
+        with open(args.ddpm_summary) as f:
+            log["f32_scores_metrics"] = json.load(f).get("metrics")
+
+    with open("attn_bf16_cert.json", "w") as f:
+        json.dump(log, f, indent=2)
+    print(json.dumps(log, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
