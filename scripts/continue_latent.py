@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--lr_final_frac", type=float, default=0.1)
     ap.add_argument("--ckpt", default="./model_para/trained_para.msgpack",
                     help="parameter checkpoint to warm-start from")
+    ap.add_argument("--tag", default="",
+                    help="suffix for output artifacts so successive "
+                         "continuations don't clobber each other "
+                         "(trained_para_cont<tag>.msgpack, "
+                         "continue_summary<tag>.json, ...)")
     args = ap.parse_args()
     os.chdir(args.root)
 
@@ -118,9 +123,10 @@ def main():
             print(f"[cont {epoch:03d}] train={m:.6f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
         if args.save_every and epoch % args.save_every == 0:
-            save_params("./model_para/trained_para_cont.msgpack",
-                        state.params)
-    save_params("./model_para/trained_para_cont.msgpack", state.params)
+            save_params(f"./model_para/trained_para_cont{args.tag}"
+                        ".msgpack", state.params)
+    save_params(f"./model_para/trained_para_cont{args.tag}.msgpack",
+                state.params)
     log["train_s"] = round(time.time() - t0, 1)
     log["losses_every10"] = losses_hist
 
@@ -134,7 +140,7 @@ def main():
     summaries = {}
     for cls, cname in CLASS_NAMES.items():
         d = f"./data/{cname}_224x224_test"
-        cls_dir = f"./generated_by_cond/continued/{cname}"
+        cls_dir = f"./generated_by_cond/continued{args.tag}/{cname}"
         os.makedirs(cls_dir, exist_ok=True)
         sampler.set_class_id(cls)
         imgs = sampler.sample(
@@ -143,7 +149,7 @@ def main():
         )
         save_images(cls_dir, imgs)
         res = evaluate_dirs(gt_dir=d, gen_dir=cls_dir,
-                            out_dir=f"./eval_result/{cname}_cont",
+                            out_dir=f"./eval_result/{cname}_cont{args.tag}",
                             threshold=128, invert=True, sigma=2.0,
                             save_diff=True)
         s = res["summary"].iloc[0]
@@ -154,7 +160,7 @@ def main():
         }
         print(cname, summaries[cname], flush=True)
     log["metrics"] = summaries
-    with open("continue_summary.json", "w") as f:
+    with open(f"continue_summary{args.tag}.json", "w") as f:
         json.dump(log, f, indent=2)
     print(json.dumps(log, indent=2), flush=True)
 
