@@ -24,16 +24,16 @@ from . import native
 
 
 def load_binary_mask(
-    image_path, threshold: int = 128, invert: bool = True
+    image_path, threshold: int = 128, *, invert: bool
 ) -> np.ndarray:
     """Grayscale → bool mask; invert=True treats dark pixels as foreground
     (line art / CAD convention, eval_iou_noise.py:77-94).
 
-    NOTE: the default here is ``invert=True`` (matching the reference
-    *library* function, eval_iou_noise.py:80) while the eval CLI's
-    ``--invert`` flag defaults to False (matching the reference *CLI*'s
-    store_true flag, eval_iou_noise.py:309). Library callers scoring
-    black-on-white line art should pass ``invert`` explicitly."""
+    ``invert`` is keyword-required on purpose: the reference's *library*
+    default (True, eval_iou_noise.py:80) and its *CLI* default (False via
+    a store_true flag, eval_iou_noise.py:309) disagree, so any default
+    here silently picks a side and misbinarizes half the use cases.
+    Black-on-white line art wants ``invert=True``."""
     img = Image.open(image_path).convert("L")
     arr = np.array(img, dtype=np.uint8)
     return native.binarize_bytes(arr, threshold, invert)
