@@ -25,8 +25,9 @@ VAE decode).
 
 Env overrides: BENCH_BATCH (default 64), BENCH_REPS (default 5),
 BENCH_SWEEP=1 adds a batch sweep [32, 64, 128, 256] to the extras,
-BENCH_DDIM=1 adds the 50-step DDIM fast-path measurement to the extras
-(the headline stays the reference-workload T=1000 DDPM number).
+BENCH_DDIM=1 adds the 50-step DDIM fast-path measurement to the extras,
+BENCH_DPMPP=1 the 20-step DPM-Solver++(2M) one (the headline stays the
+reference-workload T=1000 DDPM number).
 """
 from __future__ import annotations
 
@@ -259,6 +260,10 @@ def main():
         extras["ddim50"] = time_batch(pipe, batch, reps,
                                       jax.random.fold_in(key, 999),
                                       method="ddim", steps=50)
+    if os.environ.get("BENCH_DPMPP", "0") == "1":
+        extras["dpmpp20"] = time_batch(pipe, batch, reps,
+                                       jax.random.fold_in(key, 998),
+                                       method="dpmpp", steps=20)
     if sweep:
         extras["sweep"] = [
             time_batch(pipe, b, max(2, reps // 2), jax.random.fold_in(key, b))

@@ -67,8 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drawing canvas; pass -1 -1 to infer per CSV")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no_bf16", action="store_true")
-    ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
-                    help="ddim = strided fast sampler (beyond-reference)")
+    ap.add_argument("--sampler", choices=["ddpm", "ddim", "dpmpp"],
+                    default="ddpm",
+                    help="ddim/dpmpp = fast samplers (beyond-reference); "
+                         "dpmpp is 2nd-order DPM-Solver++(2M)")
     ap.add_argument("--num_inference_steps", type=int, default=50,
                     help="model evaluations when --sampler ddim")
     ap.add_argument("--eta", type=float, default=0.0,

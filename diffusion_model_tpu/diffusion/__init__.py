@@ -7,6 +7,7 @@ from .sampling import (
     cfg_eps,
     sample_loop,
     sample_loop_ddim,
+    sample_loop_dpmpp,
     sample_loop_with_snapshots,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "cfg_eps",
     "sample_loop",
     "sample_loop_ddim",
+    "sample_loop_dpmpp",
     "sample_loop_with_snapshots",
 ]

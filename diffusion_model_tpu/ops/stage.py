@@ -86,6 +86,39 @@ def fused_stage_reference(
     return x
 
 
+def fused_stage_hybrid(
+    x: jnp.ndarray,
+    blocks: Sequence[Dict[str, jnp.ndarray]],
+    residuals: Tuple[bool, ...],
+    emb: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """XLA convolutions + fused Pallas GroupNorm(+GELU) between them.
+
+    A/B candidate (``DIFFUSION_TPU_STAGE_GN_PALLAS=1``): the round-3 level
+    scan only compared whole-level Pallas vs whole-level XLA; this is the
+    finer split — convs stay on XLA's winning lowering while the
+    bandwidth-bound GN+GELU chain runs as the single-pass Pallas kernel
+    (which carries its own custom_vjp, so training stays correct). Kept
+    separate from :func:`fused_stage_reference` so the stage kernel's
+    custom_vjp backward remains pure XLA."""
+    from .groupnorm import group_norm
+
+    for p, res in zip(blocks, residuals):
+        h = _conv3x3(x, p["w1"])
+        h = group_norm(h, p["s1"], p["b1"], 1, eps=eps, apply_gelu=True)
+        h = _conv3x3(h, p["w2"])
+        h = group_norm(h, p["s2"], p["b2"], 1, eps=eps)
+        if res:
+            x = jax.nn.gelu((x + h).astype(jnp.float32),
+                            approximate=False).astype(x.dtype)
+        else:
+            x = h
+    if emb is not None:
+        x = x + emb[:, None, None, :].astype(x.dtype)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
@@ -324,4 +357,9 @@ def fused_stage(
     if use_pallas:
         return fused_stage_pallas(x, tuple(blocks), tuple(residuals), emb,
                                   eps)
+    import os
+
+    if pallas_supported() and os.environ.get(
+            "DIFFUSION_TPU_STAGE_GN_PALLAS", "0") == "1":
+        return fused_stage_hybrid(x, blocks, tuple(residuals), emb, eps)
     return fused_stage_reference(x, blocks, tuple(residuals), emb, eps)

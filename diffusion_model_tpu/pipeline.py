@@ -33,6 +33,7 @@ from .diffusion import (
     DiffusionSchedule,
     sample_loop,
     sample_loop_ddim,
+    sample_loop_dpmpp,
     sample_loop_with_snapshots,
 )
 from .models import VAE, CondUNet
@@ -190,6 +191,14 @@ class DiffusionPipeline:
                     cond_vals=vals, cond_mask=mask,
                     guidance_scale=guidance_scale,
                 )
+            elif method == "dpmpp":
+                zf = sample_loop_dpmpp(
+                    self.schedule, eps, x_init,
+                    num_inference_steps=num_inference_steps or 20,
+                    y=y, cond_vals=vals, cond_mask=mask,
+                    guidance_scale=guidance_scale,
+                )
+                snaps = None
             elif method == "ddim":
                 zf = sample_loop_ddim(
                     self.schedule, eps, x_init, key,
@@ -256,8 +265,9 @@ class DiffusionPipeline:
         final chunk at its true size — one extra (cached) compilation, no
         wasted scan compute, right for long-lived serving processes.
         ``method="ddim"`` switches to the strided DDIM sampler with
-        ``num_inference_steps`` model evaluations (default 50) — a
-        beyond-reference fast path.
+        ``num_inference_steps`` model evaluations (default 50) and
+        ``method="dpmpp"`` to second-order DPM-Solver++(2M) (default 20
+        evaluations) — beyond-reference fast paths.
         ``quantize`` converts decoded images to uint8 ON DEVICE (default:
         whenever the caller only needs uint8, i.e. ``to_pil and decode``) —
         4× less device→host transfer.

@@ -1,7 +1,8 @@
-"""Certify DDIM fast-path quality (VERDICT r2 #4).
+"""Certify fast-sampler quality (VERDICT r2 #4).
 
 Generates the standard per-class image set from an existing trained
-checkpoint with ``--sampler ddim`` (default 50 steps) and runs the same
+checkpoint with ``--method ddim`` (default, 50 steps) or ``--method
+dpmpp`` (DPM-Solver++(2M)) and runs the same
 IoU/noise evaluation as the DDPM quality runs, so BASELINE.md can carry a
 DDPM-1000 vs DDIM-50 table for the SAME checkpoint. The DDPM side is read
 from the run's existing summary (continue_summary.json / quality_summary
@@ -32,6 +33,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="./quality_r2")
     ap.add_argument("--ckpt", default="./model_para/trained_para_cont.msgpack")
+    ap.add_argument("--method", choices=("ddim", "dpmpp"), default="ddim")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--eta", type=float, default=0.0)
     ap.add_argument("--gen_count", type=int, default=200)
@@ -71,19 +73,21 @@ def main():
     metrics = {}
     for cls, cname in CLASS_NAMES.items():
         d = f"./data/{cname}_{sfx}_test"
-        cls_dir = f"./generated_by_cond/ddim{args.steps}/{cname}"
+        tag = f"{args.method}{args.steps}"
+        cls_dir = f"./generated_by_cond/{tag}/{cname}"
         os.makedirs(cls_dir, exist_ok=True)
         sampler.set_class_id(cls)
         tg = time.time()
         imgs = sampler.sample(
             f"{d}/{cname}_{sfx}_test.csv", count=args.gen_count,
             guidance_scale=args.guidance, key=jax.random.PRNGKey(100 + cls),
-            method="ddim", num_inference_steps=args.steps, eta=args.eta,
+            method=args.method, num_inference_steps=args.steps,
+            eta=args.eta,
         )
         save_images(cls_dir, imgs)
         gen_s = time.time() - tg
         res = evaluate_dirs(gt_dir=d, gen_dir=cls_dir,
-                            out_dir=f"./eval_result/{cname}_ddim{args.steps}",
+                            out_dir=f"./eval_result/{cname}_{tag}",
                             threshold=128, invert=True, sigma=2.0,
                             save_diff=False)
         s = res["summary"].iloc[0]
@@ -94,14 +98,15 @@ def main():
         }
         metrics[cname]["gen_s"] = round(gen_s, 1)
         print(cname, metrics[cname], flush=True)
-    log["ddim_metrics"] = metrics
+    log["fast_metrics"] = metrics
+    log["ddim_metrics"] = metrics  # back-compat key for existing renderers
     log["total_s"] = round(time.time() - t0, 1)
 
     if os.path.exists(args.ddpm_summary):
         with open(args.ddpm_summary) as f:
             log["ddpm_metrics"] = json.load(f).get("metrics")
 
-    with open(f"ddim{args.steps}_cert.json", "w") as f:
+    with open(f"{args.method}{args.steps}_cert.json", "w") as f:
         json.dump(log, f, indent=2)
     print(json.dumps(log, indent=2), flush=True)
 

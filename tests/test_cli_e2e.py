@@ -88,6 +88,13 @@ def test_full_cli_chain(workdir):
     ])
     assert os.path.exists("./generated_by_cond/cli_ddim/arc/pic2.png")
 
+    generate_cond.main(common + [
+        "--circle_csv", "./data/circle_32x32_test/circle_32x32_test.csv",
+        "--image_count", "2", "--run_name", "cli_dpmpp",
+        "--sampler", "dpmpp", "--num_inference_steps", "3",
+    ])
+    assert os.path.exists("./generated_by_cond/cli_dpmpp/circle/pic2.png")
+
     # 5. step dumps
     generate_steps.main(common + [
         "--csv_path", "./data/line_32x32_test/line_32x32_test.csv",

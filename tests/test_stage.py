@@ -147,3 +147,42 @@ def test_unet_param_paths_unchanged():
         "cond_fc1/kernel",
     ):
         assert expected in paths, f"param path moved: {expected}"
+
+
+def test_stage_hybrid_matches_reference():
+    """XLA-convs + Pallas-GN hybrid (DIFFUSION_TPU_STAGE_GN_PALLAS=1) must
+    match the pure-XLA reference; the GN kernel runs in interpret mode via
+    this module's autouse fixture."""
+    from diffusion_model_tpu.ops.stage import fused_stage_hybrid
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (3, 7, 7, 16))
+    b1 = _mk_block(jax.random.fold_in(key, 1), 16, 16, 16)
+    b2 = _mk_block(jax.random.fold_in(key, 2), 16, 24, 32)
+    emb = jax.random.normal(jax.random.fold_in(key, 3), (3, 32))
+    for e in (None, emb):
+        ref = fused_stage_reference(x, [b1, b2], (True, False), e)
+        out = fused_stage_hybrid(x, [b1, b2], (True, False), e)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            **_tol(jnp.float32))
+
+
+def test_stage_hybrid_grads_match_reference():
+    from diffusion_model_tpu.ops.stage import fused_stage_hybrid
+
+    key = jax.random.PRNGKey(8)
+    x = jax.random.normal(key, (2, 5, 5, 8))
+    b = _mk_block(jax.random.fold_in(key, 1), 8, 8, 8)
+
+    def loss_h(x_, b_):
+        return jnp.sum(fused_stage_hybrid(x_, [b_], (True,)) ** 2)
+
+    def loss_r(x_, b_):
+        return jnp.sum(fused_stage_reference(x_, [b_], (True,)) ** 2)
+
+    gh = jax.grad(loss_h, argnums=(0, 1))(x, b)
+    gr = jax.grad(loss_r, argnums=(0, 1))(x, b)
+    for a, r in zip(jax.tree.leaves(gh), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
