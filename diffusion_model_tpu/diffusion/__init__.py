@@ -10,6 +10,7 @@ from .sampling import (
     sample_loop_dpmpp,
     sample_loop_with_snapshots,
 )
+from .parallel_sampling import sample_loop_ddim_parallel
 
 __all__ = [
     "DiffusionSchedule",
@@ -21,5 +22,6 @@ __all__ = [
     "sample_loop",
     "sample_loop_ddim",
     "sample_loop_dpmpp",
+    "sample_loop_ddim_parallel",
     "sample_loop_with_snapshots",
 ]
