@@ -33,6 +33,7 @@ from .diffusion import (
     DiffusionSchedule,
     sample_loop,
     sample_loop_ddim,
+    sample_loop_ddim_parallel,
     sample_loop_dpmpp,
     sample_loop_with_snapshots,
 )
@@ -191,6 +192,20 @@ class DiffusionPipeline:
                     cond_vals=vals, cond_mask=mask,
                     guidance_scale=guidance_scale,
                 )
+            elif method == "ddim_parallel":
+                # Picard sliding-window DDIM: the window·B model batch
+                # shards over the data axis, so a small request still uses
+                # the whole mesh (diffusion/parallel_sampling.py).
+                S = num_inference_steps or 50
+                zf, _sweeps = sample_loop_ddim_parallel(
+                    self.schedule, eps, x_init,
+                    num_inference_steps=S,
+                    window=min(max(8, len(jax.devices())), S), tol=1e-3,
+                    y=y, cond_vals=vals, cond_mask=mask,
+                    guidance_scale=guidance_scale,
+                    mesh=self._mesh, shard_axis="data",
+                )
+                snaps = None
             elif method == "dpmpp":
                 zf = sample_loop_dpmpp(
                     self.schedule, eps, x_init,

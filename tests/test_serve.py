@@ -82,6 +82,15 @@ def test_generate_ddim(server):
     assert code == 200 and len(body["images"]) == 1
 
 
+def test_generate_ddim_parallel(server):
+    """Time-parallel sampler through the serving surface: the Picard
+    window batch shards over whatever mesh the pipeline holds."""
+    code, body = _post(server, {"class_id": 3, "count": 1,
+                                "sampler": "ddim_parallel",
+                                "num_inference_steps": 3})
+    assert code == 200 and len(body["images"]) == 1
+
+
 def test_generate_rejects_bad_requests(server):
     code, body = _post(server, {"class_id": 9})
     assert code == 400 and "class_id" in body["error"]
