@@ -1,0 +1,79 @@
+#!/bin/bash
+# Round-3 TPU work queue. Launch once the axon tunnel is back; every stage
+# is guarded by its final artifact, so the queue is safely re-runnable
+# after any interruption (tunnel wedge, kill, reboot): re-invoke and it
+# resumes at the first unfinished stage. Serialized on purpose — one CPU
+# core (dispatch) and one chip; concurrency only adds contention.
+#
+# Usage: nohup bash scripts/round3_queue.sh > /tmp/r3queue/driver.log 2>&1 &
+set -u
+cd /root/repo
+LOG=/tmp/r3queue
+mkdir -p "$LOG"
+
+stamp() { date -u +%H:%M:%S; }
+
+run() { # run <name> <artifact-guard> <cmd...>
+  local name=$1 artifact=$2; shift 2
+  if [ -e "$artifact" ]; then echo "[$(stamp)] skip $name ($artifact exists)"; return 0; fi
+  echo "[$(stamp)] run  $name -> $LOG/$name.log"
+  timeout 14400 "$@" > "$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "[$(stamp)] done $name rc=$rc"
+  return $rc
+}
+
+wait_for_torch() { # benches need the core quiet; the torch parity run owns it until done
+  while pgrep -x python -a 2>/dev/null | grep -q torch_reference_run; do
+    echo "[$(stamp)] torch parity run still active; waiting 300s before benches"
+    sleep 300
+  done
+}
+
+# --- 1. finish the geometry-head λ sweep (VERDICT r2 #3): resumes λ=0.05
+#        from its epoch-80 Orbax checkpoint, then runs λ=0.1 fresh.
+run lambda_sweep quality_r2/lambda_sweep/lambda_01/summary.json \
+  python scripts/lambda_sweep.py --root ./quality_r2 --epochs 120
+
+# --- 2. framework side of the 96px cross-stack parity at the torch
+#        reference's exact lr (1e-4; the scout used the fw default 2e-4).
+#        Same rendered data + same stage-1 VAE checkpoint as the scout.
+run parity96lr1 parity96lr1_fw/quality_summary.json \
+  python scripts/quality_run.py --root parity96lr1_fw --image_size 96 \
+    --train_count 1000 --val_count 64 --test_count 64 --vae_epochs 20 \
+    --latent_epochs 200 --latent_bs 32 --latent_lr 1e-4 --gen_count 64 \
+    --vae_ckpt /root/repo/parity96_fw/vae/2026_08_17_14_02/vae_best.msgpack \
+    --data_dir /root/repo/parity96s_fw/data
+
+# --- 3. bf16-attention-scores quality certification (round-3 kernel lever)
+run attn_bf16_cert quality_r2/attn_bf16_cert.json \
+  python scripts/attn_bf16_cert.py --root ./quality_r2
+
+# --- 4. DPM-Solver++(2M) quality certification on TPU
+run dpmpp_cert quality_r2/dpmpp50_cert.json \
+  python scripts/ddim_cert.py --root ./quality_r2 --method dpmpp --steps 50
+
+# --- benches: need an otherwise-idle core ---
+wait_for_torch
+
+# --- 5. hybrid XLA-conv + Pallas-GN A/B
+run bench_gn_hybrid "$LOG/bench_gn_hybrid.done" \
+  env DIFFUSION_TPU_STAGE_GN_PALLAS=1 BENCH_REPS=4 python bench.py
+[ -s "$LOG/bench_gn_hybrid.log" ] && grep -q '"metric"' "$LOG/bench_gn_hybrid.log" && touch "$LOG/bench_gn_hybrid.done"
+
+# --- 6. bf16 attention scores A/B (enable by default in code only if #3 passes)
+run bench_bf16_scores "$LOG/bench_bf16_scores.done" \
+  env DIFFUSION_TPU_ATTN_BF16_SCORES=1 BENCH_REPS=4 python bench.py
+[ -s "$LOG/bench_bf16_scores.log" ] && grep -q '"metric"' "$LOG/bench_bf16_scores.log" && touch "$LOG/bench_bf16_scores.done"
+
+# --- 7. B>=128 scaling with the tunnel fetch excluded (VERDICT r2 #6)
+run no_fetch_sweep "$LOG/no_fetch_sweep.done" \
+  python scripts/profile_batch_scaling.py --no_fetch --batches 64 128 256 --skip_ablations
+grep -q '^FINAL' "$LOG/no_fetch_sweep.log" 2>/dev/null && touch "$LOG/no_fetch_sweep.done"
+
+# --- 8. line-class continuation with cosine lr decay (VERDICT r2 #5)
+run continue_cos quality_r2/continue_summary_cos.json \
+  python scripts/continue_latent.py --root ./quality_r2 --epochs 300 \
+    --lr_schedule cosine --tag _cos --ckpt ./model_para/trained_para_cont.msgpack
+
+echo "[$(stamp)] queue complete"
