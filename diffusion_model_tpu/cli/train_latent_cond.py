@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--synthetic_count", type=int, default=256)
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel width over the mesh 'model' axis")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="EMA of U-Net weights (e.g. 0.999); also writes "
+                         "trained_para_ema.msgpack")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="ZeRO-style param+optimizer sharding over 'data'")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host: jax.distributed.initialize at startup")
     return ap
@@ -58,7 +63,8 @@ def main(argv=None) -> None:
         model_para_dir=args.model_para_dir, result_root=args.result_root,
         seed=args.seed, bf16=not args.no_bf16,
         post_train_samples=args.post_train_samples,
-        tp=args.tp, distributed=args.distributed,
+        tp=args.tp, fsdp=args.fsdp, distributed=args.distributed,
+        ema_decay=args.ema_decay,
         data=DataConfig(
             train_items=parse_items(args.items),
             val_items=parse_items(args.val_items),

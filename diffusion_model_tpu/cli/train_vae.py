@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--synthetic_count", type=int, default=256)
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel width over the mesh 'model' axis")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="ZeRO-style param+optimizer sharding over 'data'")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host: jax.distributed.initialize at startup")
     return ap
@@ -57,7 +59,7 @@ def main(argv=None) -> None:
         patience=args.patience, min_delta=args.min_delta,
         base_channels=args.base_channels, z_channels=args.z_channels,
         save_dir=args.save_dir, seed=args.seed, bf16=not args.no_bf16,
-        tp=args.tp, distributed=args.distributed,
+        tp=args.tp, fsdp=args.fsdp, distributed=args.distributed,
         data=DataConfig(
             train_items=parse_items(args.items),
             val_items=parse_items(args.val_items),

@@ -50,6 +50,8 @@ class VAETrainConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output
     tp: int = 1                        # tensor-parallel width (model axis)
     tp_min_dim: int = 256              # smallest feature dim worth sharding
+    fsdp: bool = False                 # ZeRO-style param+opt sharding (data axis)
+    fsdp_min_size: int = 1 << 16       # smallest leaf (elements) FSDP shards
     distributed: bool = False          # jax.distributed.initialize at start
     # Orbax save cadence; the early-stopping best-val msgpack is unaffected.
     # See LatentTrainConfig.ckpt_interval for why per-epoch saves are costly.
@@ -67,6 +69,10 @@ class LatentTrainConfig:
     geom_lambda: float = 0.0
     geom_dim: int = 12
     val_interval: int = 5
+    # EMA of the U-Net weights (0 = off). When on, the rolling/final saves
+    # also write trained_para_ema.msgpack — usually the better sampling
+    # checkpoint (standard diffusion practice the reference lacks).
+    ema_decay: float = 0.0
     # Checkpoint cadence (rolling best msgpack + Orbax resume state). Every
     # save fetches the full TrainState (params + Adam moments ≈ 280 MB for
     # the flagship U-Net) device→host — through the axon tunnel's ~21 MB/s
@@ -88,6 +94,8 @@ class LatentTrainConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output
     tp: int = 1                        # tensor-parallel width (model axis)
     tp_min_dim: int = 256              # smallest feature dim worth sharding
+    fsdp: bool = False                 # ZeRO-style param+opt sharding (data axis)
+    fsdp_min_size: int = 1 << 16       # smallest leaf (elements) FSDP shards
     distributed: bool = False          # jax.distributed.initialize at start
 
 

@@ -12,6 +12,11 @@ annotations, and XLA-inserted collectives over ICI (the "NCCL" of this stack
   dim, biases/embeddings follow, XLA inserts the matching all-gathers /
   reduce-scatters. The U-Net here is ~30M params so TP is about headroom
   (and exercising the path), not necessity — see SURVEY.md §2.
+- **FSDP** (``fsdp=True``; over the ``data`` axis): ZeRO-style — every
+  large parameter leaf (and therefore the Adam moments created over it)
+  shards its widest free dim across the data axis; XLA all-gathers at use
+  in the forward and reduce-scatters gradients in the backward. Composes
+  with TP on a 2-D mesh. Headroom for models that outgrow one chip's HBM.
 - Multi-host: call :func:`initialize_distributed` first; device order in
   ``jax.devices()`` already interleaves hosts correctly for DP.
 """
@@ -140,23 +145,59 @@ def _tp_spec_for(path: str, shape: Tuple[int, ...], tp: int,
     return P()
 
 
-def param_shardings(params, mesh: Mesh, min_dim: int = 256):
-    """NamedShardings for a param pytree under the mesh's ``model`` axis.
+def _fsdp_axis_for(shape: Tuple[int, ...], spec: list, dp: int,
+                   min_size: int) -> Optional[int]:
+    """Pick the dim FSDP shards over ``data``: the largest dim divisible by
+    the data-parallel width that TP hasn't already claimed. ``None`` (keep
+    replicated) for small leaves — norm scales and biases cost more to
+    gather than they save."""
+    if dp <= 1 or int(np.prod(shape or (1,))) < min_size:
+        return None
+    for d in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if spec[d] is None and shape[d] % dp == 0:
+            return d
+    return None
 
-    With no ``model`` axis (pure DP) everything is replicated.
+
+def param_shardings(params, mesh: Mesh, min_dim: int = 256,
+                    fsdp: bool = False, fsdp_min_size: int = 1 << 16):
+    """NamedShardings for a param pytree.
+
+    - ``model`` axis present: TP — large kernels' output-feature dim.
+    - ``fsdp=True``: ZeRO-style parameter sharding over the ``data`` axis
+      (each leaf's largest free dim), composable with TP. XLA inserts the
+      all-gather at use in the forward and the matching reduce-scatter in
+      the backward; the optimizer state created over these params inherits
+      the layout, so Adam moments are sharded too (the actual memory win).
+      This is the standard GSPMD FSDP recipe — annotate, don't hand-write
+      collectives.
+    - neither: fully replicated (pure DP).
     """
-    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    tp = sizes.get("model", 1)
+    dp = sizes.get("data", 1) if fsdp else 1
 
     def one(path, leaf):
-        if tp == 1:
-            return NamedSharding(mesh, P())
-        name = "/".join(str(getattr(k, "key", k)) for k in path)
-        return NamedSharding(mesh, _tp_spec_for(name, leaf.shape, tp, min_dim))
+        shape = tuple(leaf.shape)
+        spec = [None] * len(shape)
+        if tp > 1:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            tp_spec = _tp_spec_for(name, shape, tp, min_dim)
+            for i, ax in enumerate(tuple(tp_spec)):
+                spec[i] = ax
+        d = _fsdp_axis_for(shape, spec, dp, fsdp_min_size)
+        if d is not None:
+            spec[d] = "data"
+        while spec and spec[-1] is None:  # P(None,...) == replicated; keep
+            spec.pop()                    # the canonical P() for those dims
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def shard_params(params, mesh: Mesh, min_dim: int = 256):
-    """device_put params with TP shardings (replicated under pure DP)."""
-    shardings = param_shardings(params, mesh, min_dim)
+def shard_params(params, mesh: Mesh, min_dim: int = 256,
+                 fsdp: bool = False, fsdp_min_size: int = 1 << 16):
+    """device_put params with TP and/or FSDP shardings (replicated under
+    pure DP)."""
+    shardings = param_shardings(params, mesh, min_dim, fsdp, fsdp_min_size)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -1,6 +1,7 @@
 from .losses import masked_geom_mse
 from .early_stopping import EarlyStopping
 from .checkpoints import CheckpointManager, load_params, save_params
+from .ema import EMATrainState, make_train_state
 from .recorder import (
     MetricsLogger,
     record_result,
@@ -24,7 +25,7 @@ from .train_latent import (
 
 __all__ = [
     "masked_geom_mse", "EarlyStopping", "CheckpointManager", "load_params",
-    "save_params", "MetricsLogger", "record_result", "save_images",
+    "save_params", "EMATrainState", "make_train_state", "MetricsLogger", "record_result", "save_images",
     "save_train_val_loss_csv", "save_train_val_loss_graph",
     "create_vae_state", "make_vae_eval_step", "make_vae_train_step",
     "train_vae", "build_models", "create_latent_state",

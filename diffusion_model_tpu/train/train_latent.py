@@ -32,6 +32,7 @@ from ..diffusion import DiffusionSchedule, q_sample
 from ..models import VAE, VAEConfig, CondUNet, UNetConfig
 from ..parallel import replicate, shard_batch, shard_params, training_mesh
 from .checkpoints import load_params, save_params
+from .ema import make_train_state
 from .losses import masked_geom_mae, masked_geom_mse, per_class_noise_loss
 from .recorder import MetricsLogger, record_result
 
@@ -65,9 +66,9 @@ def create_latent_state(
         rng, dummy_z, jnp.ones((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
         jnp.zeros((B, cfg.geom_dim)), jnp.zeros((B, cfg.geom_dim)),
     )
-    return train_state.TrainState.create(
-        apply_fn=unet.apply, params=variables["params"],
-        tx=optax.adam(cfg.lr),
+    return make_train_state(
+        unet.apply, variables["params"], optax.adam(cfg.lr),
+        ema_decay=getattr(cfg, "ema_decay", 0.0),
     )
 
 
@@ -399,17 +400,20 @@ def train_latent_cond(cfg: LatentTrainConfig,
     rng = jax.random.PRNGKey(cfg.seed)
     ih, iw = cfg.data.image_size
     state = create_latent_state(rng, cfg, unet, (ih // 8, iw // 8))
-    if cfg.tp > 1:
-        # TP over the mesh's 'model' axis: shard the large kernels' output
-        # features, re-init the optimizer on the sharded params so Adam's
-        # moments inherit the same layout; the frozen VAE is replicated.
-        from flax.training import train_state as _ts
-
-        state = _ts.TrainState.create(
-            apply_fn=unet.apply,
-            params=shard_params(state.params, mesh,
-                                min_dim=cfg.tp_min_dim),
-            tx=optax.adam(cfg.lr),
+    if cfg.tp > 1 or cfg.fsdp:
+        # TP: shard the large kernels' output features over 'model'.
+        # FSDP: shard every large leaf's widest free dim over 'data'
+        # (ZeRO-style; XLA all-gathers at use, reduce-scatters grads).
+        # Either way the state is re-created on the sharded params so
+        # Adam's moments (and the EMA copy, if enabled) inherit the
+        # layout; the frozen VAE is replicated.
+        state = make_train_state(
+            unet.apply,
+            shard_params(state.params, mesh,
+                         min_dim=cfg.tp_min_dim, fsdp=cfg.fsdp,
+                         fsdp_min_size=cfg.fsdp_min_size),
+            optax.adam(cfg.lr),
+            ema_decay=getattr(cfg, "ema_decay", 0.0),
         )
         vae_params = replicate(vae_params, mesh)
     if train_dev is not None:
@@ -434,6 +438,8 @@ def train_latent_cond(cfg: LatentTrainConfig,
 
     os.makedirs(cfg.model_para_dir, exist_ok=True)
     rolling_path = os.path.join(cfg.model_para_dir, "trained_para.msgpack")
+    ema_on = getattr(cfg, "ema_decay", 0.0) > 0.0
+    ema_path = os.path.join(cfg.model_para_dir, "trained_para_ema.msgpack")
     metrics = MetricsLogger(os.path.join(cfg.model_para_dir, "metrics.jsonl"))
 
     # optional Orbax resume (full state; the reference cannot resume at all)
@@ -488,6 +494,8 @@ def train_latent_cond(cfg: LatentTrainConfig,
             rolling_dirty = True
         if ckpt_epoch and rolling_dirty:
             save_params(rolling_path, state.params)
+            if ema_on:
+                save_params(ema_path, state.ema_params)
             rolling_dirty = False
         train_loss = float(epoch_losses.mean()) if epoch_losses.size else 0.0
         train_losses.append(train_loss)
@@ -578,10 +586,13 @@ def train_latent_cond(cfg: LatentTrainConfig,
         cfg_drop_prob=cfg.cfg_drop_prob,
         network="diffusion_model_tpu.models.unet.CondUNet(with_geom_head)",
     )
+    if ema_on:  # final EMA save regardless of the rolling-best gate
+        save_params(ema_path, state.ema_params)
     metrics.close()
     return {
         "run_dir": run_dir,
         "rolling_ckpt": rolling_path,
+        **({"ema_ckpt": ema_path} if ema_on else {}),
         "train_losses": train_losses,
         "val_losses": val_losses,
         "learning_time": learning_time,

@@ -234,13 +234,15 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
 
     rng = jax.random.PRNGKey(cfg.seed)
     model, state = create_vae_state(rng, cfg, cfg.data.image_size)
-    if cfg.tp > 1:
-        # shard large kernels over 'model'; re-init the optimizer so Adam
-        # moments inherit the sharded layout
+    if cfg.tp > 1 or cfg.fsdp:
+        # TP: shard large kernels over 'model'. FSDP: shard large leaves
+        # over 'data' (ZeRO-style). Re-init the optimizer so Adam moments
+        # inherit the sharded layout either way.
         state = train_state.TrainState.create(
             apply_fn=model.apply,
             params=shard_params(state.params, mesh,
-                                min_dim=cfg.tp_min_dim),
+                                min_dim=cfg.tp_min_dim, fsdp=cfg.fsdp,
+                                fsdp_min_size=cfg.fsdp_min_size),
             tx=optax.adam(cfg.lr),
         )
     if train_dev is not None:

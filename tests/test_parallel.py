@@ -170,3 +170,103 @@ def test_train_cli_tp_flag_parses():
     args = build_parser().parse_args(
         ["--vae_ckpt", "x.msgpack", "--tp", "2", "--distributed"])
     assert args.tp == 2 and args.distributed
+
+def test_fsdp_param_sharding_rules():
+    # pure-DP mesh: FSDP shards each large leaf's widest dim over 'data'
+    mesh = make_mesh(("data",))
+    params = {
+        "bot1": {"conv1": {"kernel": jnp.zeros((3, 3, 256, 512))}},
+        "gn": {"scale": jnp.zeros((512,))},          # small: replicated
+        "emb": {"kernel": jnp.zeros((256, 1024))},
+    }
+    sh = param_shardings(params, mesh, fsdp=True)
+    assert sh["bot1"]["conv1"]["kernel"].spec == P(None, None, None, "data")
+    assert sh["gn"]["scale"].spec == P()
+    assert sh["emb"]["kernel"].spec == P(None, "data")
+    # composed with TP on a (4, 2) mesh: TP takes the output dim, FSDP the
+    # next-widest free dim
+    mesh2 = make_dp_tp_mesh(tp=2)
+    sh2 = param_shardings(params, mesh2, fsdp=True)
+    assert sh2["bot1"]["conv1"]["kernel"].spec == P(
+        None, None, "data", "model")
+    # fsdp=False keeps the round-2 behavior
+    sh3 = param_shardings(params, mesh)
+    assert sh3["bot1"]["conv1"]["kernel"].spec == P()
+
+
+@pytest.mark.heavy
+def test_fsdp_forward_matches_replicated():
+    """An FSDP-sharded UNet forward equals the replicated one — XLA
+    all-gathers each sharded leaf at use."""
+    mesh = make_mesh(("data",))
+    unet = CondUNet(UNetConfig(in_ch=4, time_dim=32, num_classes=3,
+                               base_ch=32, remove_deep_conv=True))
+    rng = jax.random.PRNGKey(0)
+    z = jax.random.normal(rng, (2, 8, 8, 4))
+    t = jnp.array([3, 5])
+    y = jnp.array([1, 2])
+    params = unet.init(rng, z, t, y, jnp.zeros((2, 12)),
+                       jnp.zeros((2, 12)))["params"]
+    ref = unet.apply({"params": params}, z, t, y, jnp.zeros((2, 12)),
+                     jnp.zeros((2, 12)))
+    params_f = shard_params(params, mesh, fsdp=True, fsdp_min_size=1 << 10)
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda p: p.sharding.spec, params_f,
+                               is_leaf=lambda x: hasattr(x, "sharding")))
+    assert any("data" in [a for a in s if a] for s in specs)
+    out = jax.jit(
+        lambda p: unet.apply({"params": p}, z, t, y, jnp.zeros((2, 12)),
+                             jnp.zeros((2, 12)))
+    )(params_f)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
+@pytest.mark.heavy
+def test_trainer_fsdp_path_shards_params_and_opt(tmp_path, monkeypatch):
+    """--fsdp through the production trainer: params AND Adam moments must
+    be sharded over 'data' (the ZeRO memory win), loss finite."""
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    from diffusion_model_tpu.train import train_latent_cond
+
+    cfg = LatentTrainConfig(
+        epochs=1, batch_size=8, num_timesteps=4, base_ch=8, time_dim=32,
+        vae_base_channels=8, bf16=False, val_interval=5,
+        # min_size lowered so FSDP bites at this test's tiny shapes
+        post_train_samples=0, fsdp=True, fsdp_min_size=1 << 10,
+        data=__import__("diffusion_model_tpu.config",
+                        fromlist=["DataConfig"]).DataConfig(
+            synthetic_root=str(tmp_path / "data"), synthetic_count=8,
+            synthetic_val_count=4, image_size=(32, 32),
+        ),
+    )
+    from diffusion_model_tpu.models import VAE as FVAE, VAEConfig as FVAEConfig
+    vae = FVAE(FVAEConfig(base_channels=8))
+    rng = jax.random.PRNGKey(0)
+    vae_params = vae.init({"params": rng, "sample": rng},
+                          jnp.zeros((1, 32, 32, 3)))["params"]
+    res = train_latent_cond(cfg, vae_params=vae_params)
+    assert np.isfinite(res["train_losses"][-1])
+
+    def has_data_axis(leaf):
+        spec = leaf.sharding.spec
+        return any(ax == "data" or (isinstance(ax, tuple) and "data" in ax)
+                   for ax in spec if ax is not None)
+
+    state = res["final_state"]
+    p_sharded = [l for l in jax.tree_util.tree_leaves(state.params)
+                 if has_data_axis(l)]
+    assert p_sharded, "no param leaf sharded over data"
+    o_sharded = [l for l in jax.tree_util.tree_leaves(state.opt_state)
+                 if hasattr(l, "sharding") and has_data_axis(l)]
+    assert o_sharded, "no optimizer-state leaf sharded over data"
+    assert os.path.exists(res["rolling_ckpt"])
+
+
+def test_train_cli_fsdp_flag_parses():
+    from diffusion_model_tpu.cli.train_latent_cond import build_parser
+
+    args = build_parser().parse_args(
+        ["--vae_ckpt", "x.msgpack", "--fsdp"])
+    assert args.fsdp
