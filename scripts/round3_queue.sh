@@ -56,6 +56,17 @@ run dpmpp_cert quality_r2/dpmpp50_cert.json \
 # --- benches: need an otherwise-idle core ---
 wait_for_torch
 
+# --- 4b. step decomposition: price the assembled production step vs its
+#         parts (where do the remaining ms go at CFG batch 128?)
+run step_decomp "$LOG/step_decomp.done" \
+  python scripts/perf_step_decomp.py 64
+grep -q 'DONE' "$LOG/step_decomp.log" 2>/dev/null && touch "$LOG/step_decomp.done"
+
+# --- 4c. XLA-flag A/B: bigger scoped VMEM for fusion (cheap probe)
+run bench_vmem64 "$LOG/bench_vmem64.done" \
+  env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 BENCH_REPS=3 python bench.py
+grep -q '"metric"' "$LOG/bench_vmem64.log" 2>/dev/null && touch "$LOG/bench_vmem64.done"
+
 # --- 5. hybrid XLA-conv + Pallas-GN A/B
 run bench_gn_hybrid "$LOG/bench_gn_hybrid.done" \
   env DIFFUSION_TPU_STAGE_GN_PALLAS=1 BENCH_REPS=4 python bench.py
