@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "trained_para_ema.msgpack")
     ap.add_argument("--fsdp", action="store_true",
                     help="ZeRO-style param+optimizer sharding over 'data'")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the U-Net training forward "
+                         "(recompute activations in backward; HBM headroom)")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host: jax.distributed.initialize at startup")
     return ap
@@ -63,7 +66,8 @@ def main(argv=None) -> None:
         model_para_dir=args.model_para_dir, result_root=args.result_root,
         seed=args.seed, bf16=not args.no_bf16,
         post_train_samples=args.post_train_samples,
-        tp=args.tp, fsdp=args.fsdp, distributed=args.distributed,
+        tp=args.tp, fsdp=args.fsdp, remat=args.remat,
+        distributed=args.distributed,
         ema_decay=args.ema_decay,
         data=DataConfig(
             train_items=parse_items(args.items),

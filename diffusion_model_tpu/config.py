@@ -96,6 +96,7 @@ class LatentTrainConfig:
     tp_min_dim: int = 256              # smallest feature dim worth sharding
     fsdp: bool = False                 # ZeRO-style param+opt sharding (data axis)
     fsdp_min_size: int = 1 << 16       # smallest leaf (elements) FSDP shards
+    remat: bool = False                # jax.checkpoint the U-Net train fwd
     distributed: bool = False          # jax.distributed.initialize at start
 
 

@@ -72,11 +72,24 @@ def create_latent_state(
     )
 
 
+def _unet_apply(unet: CondUNet, remat: bool):
+    """The U-Net forward used inside loss functions; ``remat=True`` wraps
+    it in ``jax.checkpoint`` so the backward recomputes activations instead
+    of keeping them live — trades ~1/3 more FLOPs for activation memory
+    (headroom for batches/models beyond one chip's HBM; standard TPU
+    practice, composes with FSDP)."""
+    def apply(params, z, t, y, vals, mask):
+        return unet.apply({"params": params}, z, t, y, vals, mask)
+
+    return jax.checkpoint(apply) if remat else apply
+
+
 def make_latent_train_step(
     unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
-    cfg_drop_prob: float, geom_lambda: float,
+    cfg_drop_prob: float, geom_lambda: float, remat: bool = False,
 ):
     T = schedule.num_timesteps
+    unet_fwd = _unet_apply(unet, remat)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: train_state.TrainState, vae_params, batch, key):
@@ -101,8 +114,8 @@ def make_latent_train_step(
         mask_used = batch["mask"] * keep
 
         def loss_fn(params):
-            eps_pred, geom_pred = unet.apply(
-                {"params": params}, z_noisy, t, y_used, vals_used, mask_used
+            eps_pred, geom_pred = unet_fwd(
+                params, z_noisy, t, y_used, vals_used, mask_used
             )
             loss_noise = jnp.mean(jnp.square(eps_pred - noise))
             # geom supervision targets the TRUE vals, masked by keep
@@ -123,11 +136,12 @@ def make_latent_train_step(
 
 def make_latent_train_step_indexed(
     unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
-    cfg_drop_prob: float, geom_lambda: float,
+    cfg_drop_prob: float, geom_lambda: float, remat: bool = False,
 ):
     """Device-resident data path: gathers (image, vals, mask, y) from
     HBM-resident arrays by int32 indices inside the jitted step."""
     T = schedule.num_timesteps
+    unet_fwd = _unet_apply(unet, remat)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: train_state.TrainState, vae_params, data, idx, key):
@@ -154,8 +168,8 @@ def make_latent_train_step_indexed(
         mask_used = mask_b * keep
 
         def loss_fn(params):
-            eps_pred, geom_pred = unet.apply(
-                {"params": params}, z_noisy, t, y_used, vals_used, mask_used
+            eps_pred, geom_pred = unet_fwd(
+                params, z_noisy, t, y_used, vals_used, mask_used
             )
             loss_noise = jnp.mean(jnp.square(eps_pred - noise))
             loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b * keep)
@@ -205,12 +219,13 @@ def make_latent_eval_step_indexed(
 
 def make_latent_epoch_fn(
     unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
-    cfg_drop_prob: float, geom_lambda: float,
+    cfg_drop_prob: float, geom_lambda: float, remat: bool = False,
 ):
     """A full stage-2 training epoch as ONE jitted program (lax.scan over
     index batches of the HBM-resident dataset): frozen-VAE encode, q-sample,
     CFG dropout, UNet fwd/bwd, Adam — ×S steps — in a single dispatch."""
     T = schedule.num_timesteps
+    unet_fwd = _unet_apply(unet, remat)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def epoch_fn(state: train_state.TrainState, vae_params, data,
@@ -239,8 +254,8 @@ def make_latent_epoch_fn(
             keep = (~drop).astype(jnp.float32)[:, None]
 
             def loss_fn(params):
-                eps_pred, geom_pred = unet.apply(
-                    {"params": params}, z_noisy, t, y_used,
+                eps_pred, geom_pred = unet_fwd(
+                    params, z_noisy, t, y_used,
                     vals_b * keep, mask_b * keep,
                 )
                 loss_noise = jnp.mean(jnp.square(eps_pred - noise))
@@ -418,11 +433,13 @@ def train_latent_cond(cfg: LatentTrainConfig,
         vae_params = replicate(vae_params, mesh)
     if train_dev is not None:
         train_epoch_fn = make_latent_epoch_fn(
-            unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda
+            unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda,
+            remat=getattr(cfg, "remat", False),
         )
     else:
         train_step = make_latent_train_step(
-            unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda
+            unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda,
+            remat=getattr(cfg, "remat", False),
         )
         train_loader = PrefetchLoader(train_ds, cfg.batch_size, shuffle=True,
                                       seed=cfg.seed, device_put_fn=put)

@@ -188,3 +188,62 @@ def test_vae_mixed_residency(tmp_path, monkeypatch, stream_side):
     assert calls["n"] == 2
     assert math.isfinite(out["train_losses"][-1])
     assert math.isfinite(out["val_losses"][-1])
+
+
+def test_remat_step_matches_plain(tmp_path):
+    """remat=True (jax.checkpoint around the U-Net forward) must be a pure
+    memory/FLOP trade: identical losses and updated params vs remat=False
+    for the same inputs and keys."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_model_tpu.config import LatentTrainConfig
+    from diffusion_model_tpu.diffusion import DiffusionSchedule
+    from diffusion_model_tpu.models import VAE, VAEConfig
+    from diffusion_model_tpu.train.train_latent import (
+        build_models, create_latent_state, make_latent_train_step,
+    )
+
+    cfg = LatentTrainConfig(base_ch=8, time_dim=32, vae_base_channels=8,
+                            bf16=False, num_timesteps=8)
+    vae, unet = build_models(cfg)
+    rng = jax.random.PRNGKey(0)
+    vae_params = vae.init({"params": rng, "sample": rng},
+                          jnp.zeros((1, 32, 32, 3)))["params"]
+    schedule = DiffusionSchedule.create(cfg.num_timesteps)
+    batch = {
+        "image": jax.random.uniform(rng, (4, 32, 32, 3)),
+        "vals": jnp.zeros((4, 12)),
+        "mask": jnp.ones((4, 12)),
+        "y": jnp.array([1, 2, 3, 1], jnp.int32),
+    }
+    # gradients must agree directly (comparing post-Adam params would
+    # amplify recompute's float reassociation through 1/sqrt(v))
+    from diffusion_model_tpu.train.train_latent import _unet_apply
+
+    params = create_latent_state(jax.random.PRNGKey(1), cfg, unet,
+                                 (4, 4)).params
+    z = jax.random.normal(rng, (4, 4, 4, 4))
+    t = jnp.array([1, 3, 5, 7])
+    noise = jax.random.normal(jax.random.PRNGKey(3), z.shape)
+
+    def loss_with(fwd):
+        def loss(p):
+            eps, geom = fwd(p, z, t, batch["y"], batch["vals"],
+                            batch["mask"])
+            return (jnp.mean(jnp.square(eps - noise))
+                    + 0.1 * jnp.mean(jnp.square(geom)))
+        return loss
+
+    g_plain = jax.grad(loss_with(_unet_apply(unet, False)))(params)
+    g_remat = jax.grad(loss_with(_unet_apply(unet, True)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    # and the production step still runs + descends with remat on
+    state = create_latent_state(jax.random.PRNGKey(1), cfg, unet, (4, 4))
+    step = make_latent_train_step(unet, vae, schedule, 0.1, 0.1, remat=True)
+    state, m = step(state, vae_params, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
