@@ -11,6 +11,11 @@ cd /root/repo
 LOG=/tmp/r3queue
 mkdir -p "$LOG"
 
+# single-instance lock: a waiter may auto-start the queue while a manual
+# launch is alive; second instance exits quietly
+exec 9>"$LOG/queue.lock"
+flock -n 9 || { echo "queue already running; exiting"; exit 0; }
+
 stamp() { date -u +%H:%M:%S; }
 
 run() { # run <name> <artifact-guard> <cmd...>
