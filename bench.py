@@ -264,6 +264,13 @@ def main():
         extras["dpmpp20"] = time_batch(pipe, batch, reps,
                                        jax.random.fold_in(key, 998),
                                        method="dpmpp", steps=20)
+    if os.environ.get("BENCH_CACHED", "0") == "1":
+        # full-T DDPM with encoder reuse ("Faster Diffusion"); steps slot
+        # carries the cache interval k
+        for k in (2, 3):
+            extras[f"ddpm_cached_k{k}"] = time_batch(
+                pipe, batch, reps, jax.random.fold_in(key, 990 + k),
+                method="ddpm_cached", steps=k)
     if sweep:
         extras["sweep"] = [
             time_batch(pipe, b, max(2, reps // 2), jax.random.fold_in(key, b))

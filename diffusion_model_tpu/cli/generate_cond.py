@@ -67,14 +67,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drawing canvas; pass -1 -1 to infer per CSV")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no_bf16", action="store_true")
-    ap.add_argument("--sampler", choices=["ddpm", "ddim", "dpmpp"],
+    ap.add_argument("--sampler",
+                    choices=["ddpm", "ddim", "dpmpp", "ddpm_cached"],
                     default="ddpm",
                     help="ddim/dpmpp = fast samplers (beyond-reference); "
+                         "ddpm_cached = full-T DDPM, encoder reused "
+                         "across steps; "
                          "dpmpp is 2nd-order DPM-Solver++(2M)")
     ap.add_argument("--num_inference_steps", type=int, default=50,
                     help="model evaluations when --sampler ddim")
     ap.add_argument("--eta", type=float, default=0.0,
                     help="DDIM stochasticity (0 = deterministic)")
+    ap.add_argument("--cache_interval", type=int, default=2,
+                    help="encoder recompute cadence for --sampler "
+                         "ddpm_cached (1 = plain DDPM)")
     return ap
 
 
@@ -106,7 +112,9 @@ def main(argv=None) -> None:
             key=jax.random.fold_in(key, cls),
             batch_size=args.batch_size,
             method=args.sampler,
-            num_inference_steps=args.num_inference_steps,
+            num_inference_steps=(args.cache_interval
+                                 if args.sampler == "ddpm_cached"
+                                 else args.num_inference_steps),
             eta=args.eta,
         )
         dt = time.time() - tic

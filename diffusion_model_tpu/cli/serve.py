@@ -8,7 +8,7 @@ Endpoints:
        {"class_id": 1|2|3, "count": N (≤ max_batch),
         "cond": {key: val, ...} | [[12 floats] ...] | null,
         "guidance_scale": float = 3.0,
-        "sampler": "ddpm" | "ddim" | "dpmpp" | "ddim_parallel", "num_inference_steps": int,
+        "sampler": "ddpm" | "ddim" | "dpmpp" | "ddim_parallel" | "ddpm_cached", "num_inference_steps": int,
         "seed": int}
      response: {"images": [<base64 PNG>, ...], "elapsed_s": ...}
 
@@ -46,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--warm", action="store_true",
                     help="compile the default DDPM shape at startup")
     ap.add_argument("--default_sampler",
-                    choices=["ddpm", "ddim", "dpmpp", "ddim_parallel"],
+                    choices=["ddpm", "ddim", "dpmpp", "ddim_parallel",
+                             "ddpm_cached"],
                     default="ddpm")
     return ap
 
@@ -91,10 +92,11 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler):
                 elif isinstance(cond, dict):
                     cond = {class_id: cond}
                 sampler = req.get("sampler", default_sampler)
-                if sampler not in ("ddpm", "ddim", "dpmpp", "ddim_parallel"):
+                if sampler not in ("ddpm", "ddim", "dpmpp", "ddim_parallel",
+                                   "ddpm_cached"):
                     raise ValueError(
-                        "sampler must be 'ddpm', 'ddim', 'dpmpp' or "
-                        "'ddim_parallel'")
+                        "sampler must be 'ddpm', 'ddim', 'dpmpp', "
+                        "'ddim_parallel' or 'ddpm_cached'")
                 tic = time.time()
                 # Static-shape bucketing: every request runs the warmed
                 # max_batch program (short requests padded, padding

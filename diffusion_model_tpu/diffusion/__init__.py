@@ -7,6 +7,7 @@ from .sampling import (
     cfg_eps,
     sample_loop,
     sample_loop_ddim,
+    sample_loop_encoder_cached,
     sample_loop_dpmpp,
     sample_loop_with_snapshots,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "cfg_eps",
     "sample_loop",
     "sample_loop_ddim",
+    "sample_loop_encoder_cached",
     "sample_loop_dpmpp",
     "sample_loop_ddim_parallel",
     "sample_loop_with_snapshots",

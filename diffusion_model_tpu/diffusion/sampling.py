@@ -141,6 +141,91 @@ def sample_loop(
     return x_final
 
 
+def sample_loop_encoder_cached(
+    schedule: DiffusionSchedule,
+    embed_fn,
+    encode_fn,
+    decode_fn,
+    x_init: jnp.ndarray,
+    key: jax.Array,
+    y: Optional[jnp.ndarray] = None,
+    cond_vals: Optional[jnp.ndarray] = None,
+    cond_mask: Optional[jnp.ndarray] = None,
+    guidance_scale: float = 0.0,
+    null_label: int = 0,
+    cache_interval: int = 2,
+) -> jnp.ndarray:
+    """DDPM reverse loop with encoder-feature caching.
+
+    After "Faster Diffusion: Rethinking the Role of the Encoder"
+    (arXiv:2312.09608, PAPERS.md): across adjacent timesteps the U-Net's
+    encoder/skip features drift slowly while the decoder does the
+    step-to-step work, so the encoder (+bottleneck, ~27% of this model's
+    step cost) is recomputed only every ``cache_interval`` steps; the
+    decoder always runs with the CURRENT fused embedding, so time/class
+    conditioning stays exact. ``cache_interval=1`` reproduces
+    :func:`sample_loop` bit-for-bit (same RNG path, same math).
+
+    ``embed_fn(t, y, vals, mask)``, ``encode_fn(x, emb)`` and
+    ``decode_fn(feats, emb) -> eps`` are the three pieces of the split
+    U-Net (models/unet.py ``embed``/``encode``/``decode``); CFG runs as the
+    same single 2B-row batch as :func:`cfg_eps`, so the cached features
+    cover both branches.
+    """
+    B = x_init.shape[0]
+    T = schedule.num_timesteps
+    if y is None:
+        y = jnp.full((B,), null_label, dtype=jnp.int32)
+        guidance_scale = 0.0
+    cfg_on = guidance_scale is not None and guidance_scale > 0.0
+
+    if cfg_on:
+        y2 = jnp.concatenate([jnp.full_like(y, null_label), y])
+        cv2 = None if cond_vals is None else jnp.concatenate(
+            [cond_vals, cond_vals])
+        cm2 = None if cond_mask is None else jnp.concatenate(
+            [cond_mask, cond_mask])
+        mult = 2
+    else:
+        y2, cv2, cm2, mult = y, cond_vals, cond_mask, 1
+
+    def model_inputs(x, i):
+        t2 = jnp.full((mult * B,), T - i, dtype=jnp.int32)
+        x2 = jnp.concatenate([x, x], axis=0) if cfg_on else x
+        return x2, embed_fn(t2, y2, cv2, cm2)
+
+    # carry needs concrete feature shapes; step 0 recomputes anyway, so
+    # zero-filled placeholders of the traced shapes suffice
+    x2_0, emb0 = model_inputs(x_init, jnp.asarray(0))
+    feat_shapes = jax.eval_shape(encode_fn, x2_0, emb0)
+    feats0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), feat_shapes)
+
+    def step(carry, i):
+        x, feats = carry
+        x2, emb = model_inputs(x, i)
+        feats = jax.lax.cond(
+            i % cache_interval == 0,
+            lambda op: encode_fn(op[0], op[1]),
+            lambda op: op[2],
+            (x2, emb, feats),
+        )
+        eps2 = decode_fn(feats, emb)
+        if cfg_on:
+            eps_u, eps_c = jnp.split(eps2, 2, axis=0)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+        else:
+            eps = eps2
+        t = jnp.full((B,), T - i, dtype=jnp.int32)
+        step_key = jax.random.fold_in(key, i)
+        noise = jax.random.normal(step_key, x.shape, dtype=x.dtype)
+        x_next = ddpm_posterior_step(schedule, x, t, eps, noise)
+        return (x_next, feats), None
+
+    (x_final, _), _ = jax.lax.scan(step, (x_init, feats0), jnp.arange(T))
+    return x_final
+
+
 def ddim_step(
     schedule: DiffusionSchedule,
     x: jnp.ndarray,

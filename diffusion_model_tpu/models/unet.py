@@ -90,11 +90,123 @@ class CondUNet(nn.Module):
 
     Returns ``eps_pred`` or ``(eps_pred, geom_pred)`` when
     ``with_geom_head=True``.
+
+    Split into ``embed`` / ``encode`` / ``decode`` methods (setup-based so
+    all three share one parameter scope; attribute names equal the original
+    ``name=`` strings, so existing checkpoints load unchanged). The split
+    exists for encoder-cached sampling ("Faster Diffusion",
+    arXiv:2312.09608, PAPERS.md): encoder features drift slowly across
+    adjacent timesteps, so the sampler can re-run only ``decode`` (with the
+    CURRENT time embedding) on most steps — see
+    ``diffusion.sampling.sample_loop_encoder_cached``.
     """
 
     config: UNetConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        dt = cfg.dtype
+        bc = cfg.base_ch
+        kw = dict(dtype=dt, use_pallas=cfg.use_pallas)
+        if cfg.num_classes is not None:
+            self.class_emb = nn.Embed(cfg.num_classes + 1, cfg.time_dim,
+                                      dtype=dt)
+        # lazily materialized: params exist only if the model is used with
+        # numeric conditioning (matches the old compact behavior)
+        self.cond_fc1 = nn.Dense(cfg.time_dim, dtype=dt)
+        self.cond_fc2 = nn.Dense(cfg.time_dim, dtype=dt)
+
+        self.inc = ResBlock(bc, **kw)
+        self.down1 = Down(bc * 2, **kw)
+        self.sa1 = AttentionBlock(bc * 2, cfg.num_heads, **kw)
+        self.down2 = Down(bc * 4, **kw)
+        self.sa2 = AttentionBlock(bc * 4, cfg.num_heads, **kw)
+        self.down3 = Down(bc * 4, **kw)
+        self.sa3 = AttentionBlock(bc * 4, cfg.num_heads, **kw)
+        if cfg.remove_deep_conv:
+            self.bot1 = ResBlockParams(bc * 4)
+            self.bot3 = ResBlockParams(bc * 4)
+        else:
+            self.bot1 = ResBlockParams(bc * 8)
+            self.bot2 = ResBlockParams(bc * 8)
+            self.bot3 = ResBlockParams(bc * 4)
+        self.up1 = Up(bc * 2, **kw)
+        self.sa4 = AttentionBlock(bc * 2, cfg.num_heads, **kw)
+        self.up2 = Up(bc, **kw)
+        self.sa5 = AttentionBlock(bc, cfg.num_heads, **kw)
+        self.up3 = Up(bc, **kw)
+        self.sa6 = AttentionBlock(bc, cfg.num_heads, **kw)
+        self.out = nn.Conv(cfg.in_ch, (1, 1), dtype=dt)
+        if cfg.with_geom_head:
+            self.geom_head = GeomHead(cfg.geom_dim, cfg.geom_hidden,
+                                      dtype=dt)
+
+    def embed(
+        self,
+        t: jnp.ndarray,
+        y: Optional[jnp.ndarray] = None,
+        cond_vals: Optional[jnp.ndarray] = None,
+        cond_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Fused embedding: sinusoidal(t) + class_emb(y) (+ cond MLP)."""
+        cfg = self.config
+        dt = cfg.dtype
+        emb = sinusoidal_time_embedding(t, cfg.time_dim, dtype=dt)
+        if cfg.num_classes is not None:
+            if y is None:
+                y = jnp.zeros(t.shape, dtype=jnp.int32)
+            emb = emb + self.class_emb(y)
+        if cond_vals is not None and cond_mask is not None:
+            cond_feat = jnp.concatenate(
+                [cond_vals, cond_mask], axis=-1
+            ).astype(dt)  # (B, 2K)
+            ce = self.cond_fc1(cond_feat)
+            ce = jax.nn.silu(ce)
+            ce = self.cond_fc2(ce)
+            emb = emb + ce
+        return emb
+
+    def encode(self, x: jnp.ndarray, emb: jnp.ndarray):
+        """Encoder + bottleneck → the skip/bottleneck feature tuple the
+        decoder consumes: ``(x1, x2, x3, x4_bottlenecked)``."""
+        cfg = self.config
+        bc = cfg.base_ch
+        x = x.astype(cfg.dtype)
+        x1 = self.inc(x)
+        x2 = self.down1(x1, emb)
+        x2 = self.sa1(x2)
+        x3 = self.down2(x2, emb)
+        x3 = self.sa2(x3)
+        x4 = self.down3(x3, emb)
+        x4 = self.sa3(x4)
+
+        # ---- bottleneck: all blocks in ONE fused stage kernel ----
+        c4 = x4.shape[-1]
+        if cfg.remove_deep_conv:
+            pb = (self.bot1(c4), self.bot3(bc * 4))
+        else:
+            pb = (self.bot1(c4), self.bot2(bc * 8), self.bot3(bc * 8))
+        x4 = fused_stage(x4.astype(cfg.dtype), pb, (False,) * len(pb),
+                         use_pallas=cfg.use_pallas)
+        return x1, x2, x3, x4
+
+    def decode(
+        self, feats, emb: jnp.ndarray
+    ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Decoder from cached features + a (possibly newer) embedding."""
+        cfg = self.config
+        x1, x2, x3, x4 = feats
+        h = self.up1(x4, x3, emb)
+        h = self.sa4(h)
+        h = self.up2(h, x2, emb)
+        h = self.sa5(h)
+        h = self.up3(h, x1, emb)
+        h = self.sa6(h)
+        eps = self.out(h).astype(jnp.float32)
+        if cfg.with_geom_head:
+            return eps, self.geom_head(h).astype(jnp.float32)
+        return eps
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -103,68 +215,8 @@ class CondUNet(nn.Module):
         cond_vals: Optional[jnp.ndarray] = None,
         cond_mask: Optional[jnp.ndarray] = None,
     ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-        cfg = self.config
-        dt = cfg.dtype
-        bc = cfg.base_ch
-
-        # ---- fused embedding: time + class + numeric condition ----
-        emb = sinusoidal_time_embedding(t, cfg.time_dim, dtype=dt)
-        if cfg.num_classes is not None:
-            if y is None:
-                y = jnp.zeros((x.shape[0],), dtype=jnp.int32)
-            class_emb = nn.Embed(
-                cfg.num_classes + 1, cfg.time_dim, dtype=dt, name="class_emb"
-            )(y)
-            emb = emb + class_emb
-        if cond_vals is not None and cond_mask is not None:
-            cond_feat = jnp.concatenate(
-                [cond_vals, cond_mask], axis=-1
-            ).astype(dt)  # (B, 2K)
-            ce = nn.Dense(cfg.time_dim, dtype=dt, name="cond_fc1")(cond_feat)
-            ce = jax.nn.silu(ce)
-            ce = nn.Dense(cfg.time_dim, dtype=dt, name="cond_fc2")(ce)
-            emb = emb + ce
-
-        x = x.astype(dt)
-        kw = dict(dtype=dt, use_pallas=cfg.use_pallas)
-
-        # ---- encoder ----
-        x1 = ResBlock(bc, name="inc", **kw)(x)
-        x2 = Down(bc * 2, name="down1", **kw)(x1, emb)
-        x2 = AttentionBlock(bc * 2, cfg.num_heads, name="sa1", **kw)(x2)
-        x3 = Down(bc * 4, name="down2", **kw)(x2, emb)
-        x3 = AttentionBlock(bc * 4, cfg.num_heads, name="sa2", **kw)(x3)
-        x4 = Down(bc * 4, name="down3", **kw)(x3, emb)
-        x4 = AttentionBlock(bc * 4, cfg.num_heads, name="sa3", **kw)(x4)
-
-        # ---- bottleneck: all blocks in ONE fused stage kernel ----
-        c4 = x4.shape[-1]
-        if cfg.remove_deep_conv:
-            pb = (ResBlockParams(bc * 4, name="bot1")(c4),
-                  ResBlockParams(bc * 4, name="bot3")(bc * 4))
-        else:
-            pb = (ResBlockParams(bc * 8, name="bot1")(c4),
-                  ResBlockParams(bc * 8, name="bot2")(bc * 8),
-                  ResBlockParams(bc * 4, name="bot3")(bc * 8))
-        x4 = fused_stage(x4.astype(dt), pb, (False,) * len(pb),
-                         use_pallas=cfg.use_pallas)
-
-        # ---- decoder ----
-        h = Up(bc * 2, name="up1", **kw)(x4, x3, emb)
-        h = AttentionBlock(bc * 2, cfg.num_heads, name="sa4", **kw)(h)
-        h = Up(bc, name="up2", **kw)(h, x2, emb)
-        h = AttentionBlock(bc, cfg.num_heads, name="sa5", **kw)(h)
-        h = Up(bc, name="up3", **kw)(h, x1, emb)
-        h = AttentionBlock(bc, cfg.num_heads, name="sa6", **kw)(h)
-
-        eps = nn.Conv(cfg.in_ch, (1, 1), dtype=dt, name="out")(h)
-        eps = eps.astype(jnp.float32)
-
-        if cfg.with_geom_head:
-            geom = GeomHead(cfg.geom_dim, cfg.geom_hidden, dtype=dt,
-                            name="geom_head")(h)
-            return eps, geom.astype(jnp.float32)
-        return eps
+        emb = self.embed(t, y, cond_vals, cond_mask)
+        return self.decode(self.encode(x, emb), emb)
 
 
 def make_unet(**overrides) -> CondUNet:

@@ -34,6 +34,7 @@ from .diffusion import (
     sample_loop,
     sample_loop_ddim,
     sample_loop_ddim_parallel,
+    sample_loop_encoder_cached,
     sample_loop_dpmpp,
     sample_loop_with_snapshots,
 )
@@ -212,6 +213,32 @@ class DiffusionPipeline:
                     num_inference_steps=num_inference_steps or 20,
                     y=y, cond_vals=vals, cond_mask=mask,
                     guidance_scale=guidance_scale,
+                )
+                snaps = None
+            elif method == "ddpm_cached":
+                # full T-step DDPM with the encoder re-run only every k
+                # steps ("Faster Diffusion", arXiv:2312.09608); k rides the
+                # num_inference_steps slot (default 2). k=1 == plain DDPM.
+                from .models.unet import CondUNet as _CU
+
+                def _embed(t, y_, cv, cm):
+                    return self.unet.apply({"params": unet_params}, t, y_,
+                                           cv, cm, method=_CU.embed)
+
+                def _encode(x, emb):
+                    return self.unet.apply({"params": unet_params}, x, emb,
+                                           method=_CU.encode)
+
+                def _decode_eps(feats, emb):
+                    out = self.unet.apply({"params": unet_params}, feats,
+                                          emb, method=_CU.decode)
+                    return out[0] if isinstance(out, tuple) else out
+
+                zf = sample_loop_encoder_cached(
+                    self.schedule, _embed, _encode, _decode_eps, x_init,
+                    key, y=y, cond_vals=vals, cond_mask=mask,
+                    guidance_scale=guidance_scale,
+                    cache_interval=num_inference_steps or 2,
                 )
                 snaps = None
             elif method == "ddim":

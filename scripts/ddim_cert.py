@@ -33,7 +33,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="./quality_r2")
     ap.add_argument("--ckpt", default="./model_para/trained_para_cont.msgpack")
-    ap.add_argument("--method", choices=("ddim", "dpmpp"), default="ddim")
+    ap.add_argument("--method", choices=("ddim", "dpmpp", "ddpm_cached"),
+                    default="ddim",
+                    help="for ddpm_cached, --steps is the encoder cache "
+                         "interval k (full T=1000 retained)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--eta", type=float, default=0.0)
     ap.add_argument("--gen_count", type=int, default=200)

@@ -82,6 +82,14 @@ run bench_bf16_scores "$LOG/bench_bf16_scores.done" \
   env DIFFUSION_TPU_ATTN_BF16_SCORES=1 BENCH_REPS=4 python bench.py
 [ -s "$LOG/bench_bf16_scores.log" ] && grep -q '"metric"' "$LOG/bench_bf16_scores.log" && touch "$LOG/bench_bf16_scores.done"
 
+# --- 6b. encoder-cached DDPM: throughput A/B (k=2,3) + quality cert at k=2
+run bench_cached "$LOG/bench_cached.done" \
+  env BENCH_CACHED=1 BENCH_REPS=3 python bench.py
+grep -q '"metric"' "$LOG/bench_cached.log" 2>/dev/null && touch "$LOG/bench_cached.done"
+
+run cached_cert quality_r2/ddpm_cached2_cert.json \
+  python scripts/ddim_cert.py --root ./quality_r2 --method ddpm_cached --steps 2
+
 # --- 7. B>=128 scaling with the tunnel fetch excluded (VERDICT r2 #6)
 run no_fetch_sweep "$LOG/no_fetch_sweep.done" \
   python scripts/profile_batch_scaling.py --no_fetch --batches 64 128 256 --skip_ablations
