@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--vae_bs", type=int, default=64)
     ap.add_argument("--latent_epochs", type=int, default=100)
     ap.add_argument("--latent_bs", type=int, default=32)
+    ap.add_argument("--latent_lr", type=float, default=1e-4,
+                    help="reference default 1e-4 (train_latent_cond.py); "
+                         "set 2e-4 for the lr-matched cross-stack pair")
     ap.add_argument("--timesteps", type=int, default=1000)
     ap.add_argument("--gen_count", type=int, default=32)
     ap.add_argument("--guidance", type=float, default=3.0)
@@ -185,7 +188,7 @@ def main():
     model = UnetCondWithGeomHead(in_ch=4, time_dim=256, num_classes=3,
                                  cfg_drop_prob=0.0, geom_dim=12)
     diffuser = Diffuser(device="cpu", num_timesteps=args.timesteps)
-    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    opt = torch.optim.Adam(model.parameters(), lr=args.latent_lr)
     start_ep = 1
     if args.resume and os.path.exists("./unet_ref_ck.pth"):
         ck = torch.load("./unet_ref_ck.pth", weights_only=False)
