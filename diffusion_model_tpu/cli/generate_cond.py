@@ -112,9 +112,8 @@ def main(argv=None) -> None:
             key=jax.random.fold_in(key, cls),
             batch_size=args.batch_size,
             method=args.sampler,
-            num_inference_steps=(args.cache_interval
-                                 if args.sampler == "ddpm_cached"
-                                 else args.num_inference_steps),
+            num_inference_steps=args.num_inference_steps,
+            cache_interval=args.cache_interval,
             eta=args.eta,
         )
         dt = time.time() - tic

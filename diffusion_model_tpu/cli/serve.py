@@ -8,7 +8,8 @@ Endpoints:
        {"class_id": 1|2|3, "count": N (≤ max_batch),
         "cond": {key: val, ...} | [[12 floats] ...] | null,
         "guidance_scale": float = 3.0,
-        "sampler": "ddpm" | "ddim" | "dpmpp" | "ddim_parallel" | "ddpm_cached", "num_inference_steps": int,
+        "sampler": "ddpm" | "ddim" | "dpmpp" | "ddim_parallel" | "ddpm_cached",
+        "num_inference_steps": int, "cache_interval": int (ddpm_cached encoder cadence, default 2),
         "seed": int}
      response: {"images": [<base64 PNG>, ...], "elapsed_s": ...}
 
@@ -111,6 +112,7 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler):
                     method=sampler,
                     num_inference_steps=int(
                         req.get("num_inference_steps", 50)),
+                    cache_interval=int(req.get("cache_interval", 2)),
                     batch_size=max_batch,
                     remainder="pad",
                 )
@@ -140,6 +142,7 @@ def main(argv=None) -> None:
         pipeline.sample_latent_cond(
             (1, args.max_batch), image_hw=image_hw,
             method=args.default_sampler, to_pil=False,
+            num_inference_steps=50, cache_interval=2,
         )
     server = ThreadingHTTPServer(
         (args.host, args.port),

@@ -9,6 +9,7 @@ from .mesh import (
     replicate,
     replicated,
     shard_batch,
+    reshard_train_state,
     shard_params,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "reshard_train_state",
     "shard_params",
 ]

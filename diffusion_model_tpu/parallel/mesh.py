@@ -201,3 +201,34 @@ def shard_params(params, mesh: Mesh, min_dim: int = 256,
     pure DP)."""
     shardings = param_shardings(params, mesh, min_dim, fsdp, fsdp_min_size)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def reshard_train_state(state, mesh: Mesh, min_dim: int = 256,
+                        fsdp: bool = False, fsdp_min_size: int = 1 << 16):
+    """Re-apply TP/FSDP shardings to a whole TrainState — params, the Adam
+    moments (same layout as params), and the EMA copy if present.
+
+    Needed after an Orbax restore: restored leaves come back as plain
+    device arrays with no shardings, which would silently turn an FSDP run
+    replicated (losing the ZeRO memory win) for the rest of training."""
+    import optax
+
+    sh = param_shardings(state.params, mesh, min_dim, fsdp, fsdp_min_size)
+
+    def put(tree):
+        return jax.tree_util.tree_map(jax.device_put, tree, sh)
+
+    def reshard_opt(os_):
+        if isinstance(os_, optax.ScaleByAdamState):
+            return os_._replace(mu=put(os_.mu), nu=put(os_.nu))
+        return os_
+
+    opt_state = state.opt_state
+    if isinstance(opt_state, tuple):
+        opt_state = tuple(reshard_opt(o) for o in opt_state)
+    else:
+        opt_state = reshard_opt(opt_state)
+    kw = {}
+    if getattr(state, "ema_params", None) is not None:
+        kw["ema_params"] = put(state.ema_params)
+    return state.replace(params=put(state.params), opt_state=opt_state, **kw)

@@ -150,15 +150,17 @@ class DiffusionPipeline:
 
     def _sampler(self, guidance_scale: float, decode: bool, snapshots: bool,
                  method: str = "ddpm", num_inference_steps: int = 0,
-                 eta: float = 0.0, quantize: bool = False):
+                 eta: float = 0.0, quantize: bool = False,
+                 cache_interval: int = 2):
         """Build (and cache) the jitted scan+decode program."""
         key_ = (float(guidance_scale), decode, snapshots, method,
                 int(num_inference_steps), float(eta), quantize,
-                int(self.decode_chunk))
+                int(self.decode_chunk), int(cache_interval))
         with self._compile_lock:
             return self._sampler_locked(key_, guidance_scale, decode,
                                         snapshots, method,
-                                        num_inference_steps, eta, quantize)
+                                        num_inference_steps, eta, quantize,
+                                        cache_interval)
 
     def _decode(self, vae_params, zf):
         """VAE decode inside the sampling jit, optionally in fixed-size
@@ -180,7 +182,8 @@ class DiffusionPipeline:
         return out.reshape((B,) + out.shape[2:])
 
     def _sampler_locked(self, key_, guidance_scale, decode, snapshots,
-                        method, num_inference_steps, eta, quantize):
+                        method, num_inference_steps, eta, quantize,
+                        cache_interval=2):
         if key_ in self._compiled:
             return self._compiled[key_]
 
@@ -216,9 +219,9 @@ class DiffusionPipeline:
                 )
                 snaps = None
             elif method == "ddpm_cached":
-                # full T-step DDPM with the encoder re-run only every k
-                # steps ("Faster Diffusion", arXiv:2312.09608); k rides the
-                # num_inference_steps slot (default 2). k=1 == plain DDPM.
+                # full T-step DDPM with the encoder re-run only every
+                # cache_interval steps ("Faster Diffusion",
+                # arXiv:2312.09608). cache_interval=1 == plain DDPM.
                 from .models.unet import CondUNet as _CU
 
                 def _embed(t, y_, cv, cm):
@@ -238,7 +241,7 @@ class DiffusionPipeline:
                     self.schedule, _embed, _encode, _decode_eps, x_init,
                     key, y=y, cond_vals=vals, cond_mask=mask,
                     guidance_scale=guidance_scale,
-                    cache_interval=num_inference_steps or 2,
+                    cache_interval=max(1, int(cache_interval)),
                 )
                 snaps = None
             elif method == "ddim":
@@ -292,6 +295,7 @@ class DiffusionPipeline:
         batch_size: int = 0,
         method: str = "ddpm",
         num_inference_steps: int = 0,
+        cache_interval: int = 2,
         eta: float = 0.0,
         quantize: Optional[bool] = None,
         remainder: str = "pad",
@@ -337,6 +341,7 @@ class DiffusionPipeline:
         run = self._sampler(guidance_scale, decode, snapshots=False,
                             method=method,
                             num_inference_steps=num_inference_steps, eta=eta,
+                            cache_interval=cache_interval,
                             quantize=quantize)
 
         if remainder not in ("pad", "exact"):
@@ -554,6 +559,7 @@ class CsvConditionSampler:
         batch_size: int = 0,
         method: str = "ddpm",
         num_inference_steps: int = 0,
+        cache_interval: int = 2,
         eta: float = 0.0,
     ):
         vals, mask = self.load_cond(csv_path, count, start)
@@ -563,4 +569,5 @@ class CsvConditionSampler:
             key=key, to_pil=to_pil, image_hw=self.image_hw,
             batch_size=batch_size, method=method,
             num_inference_steps=num_inference_steps, eta=eta,
+            cache_interval=cache_interval,
         )

@@ -30,7 +30,8 @@ from ..data import LabelDataset, PrefetchLoader
 from ..data.synthetic import generate_all_classes
 from ..diffusion import DiffusionSchedule, q_sample
 from ..models import VAE, VAEConfig, CondUNet, UNetConfig
-from ..parallel import replicate, shard_batch, shard_params, training_mesh
+from ..parallel import (replicate, reshard_train_state, shard_batch,
+                        shard_params, training_mesh)
 from .checkpoints import load_params, save_params
 from .ema import make_train_state
 from .losses import masked_geom_mae, masked_geom_mse, per_class_noise_loss
@@ -466,10 +467,25 @@ def train_latent_cond(cfg: LatentTrainConfig,
         from .checkpoints import CheckpointManager
 
         manager = CheckpointManager(cfg.resume_dir, max_to_keep=2)
-        restored = manager.restore({"state": jax.device_get(state),
-                                    "epoch": 0})
+        try:
+            restored = manager.restore({"state": jax.device_get(state),
+                                        "epoch": 0})
+        except Exception as e:
+            raise RuntimeError(
+                f"Orbax restore from {cfg.resume_dir} failed. If this run "
+                "previously used a different --ema_decay setting (0 vs >0) "
+                "the checkpoint's tree structure differs (ema_params "
+                "subtree); resume with the original setting."
+            ) from e
         if restored is not None:
             state = jax.device_put(restored["state"])
+            if cfg.tp > 1 or cfg.fsdp:
+                # restored leaves carry no shardings — re-apply TP/FSDP to
+                # params, Adam moments, and the EMA copy, or the run
+                # silently continues replicated (no ZeRO memory win)
+                state = reshard_train_state(
+                    state, mesh, min_dim=cfg.tp_min_dim, fsdp=cfg.fsdp,
+                    fsdp_min_size=cfg.fsdp_min_size)
             start_epoch = int(restored["epoch"]) + 1
             print(f"Resumed from {cfg.resume_dir} at epoch {start_epoch}")
 

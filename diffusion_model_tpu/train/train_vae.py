@@ -286,7 +286,15 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
         if restored is not None:
             # static fields (apply_fn, tx) come from the target structure;
             # arrays come from the checkpoint
-            state = current["state"] = jax.device_put(restored["state"])
+            state = jax.device_put(restored["state"])
+            if cfg.tp > 1 or cfg.fsdp:
+                # restored leaves carry no shardings — re-apply TP/FSDP
+                from ..parallel import reshard_train_state
+
+                state = reshard_train_state(
+                    state, mesh, min_dim=cfg.tp_min_dim, fsdp=cfg.fsdp,
+                    fsdp_min_size=cfg.fsdp_min_size)
+            current["state"] = state
             start_epoch = int(restored["epoch"]) + 1
             print(f"Resumed from {cfg.resume_dir} at epoch {start_epoch}")
 

@@ -84,7 +84,11 @@ def main():
         imgs = sampler.sample(
             f"{d}/{cname}_{sfx}_test.csv", count=args.gen_count,
             guidance_scale=args.guidance, key=jax.random.PRNGKey(100 + cls),
-            method=args.method, num_inference_steps=args.steps,
+            method=args.method,
+            num_inference_steps=(0 if args.method == "ddpm_cached"
+                                 else args.steps),
+            cache_interval=(args.steps if args.method == "ddpm_cached"
+                            else 2),
             eta=args.eta,
         )
         save_images(cls_dir, imgs)

@@ -112,7 +112,7 @@ def test_pipeline_ddpm_cached_end_to_end():
     imgs = pipe.sample_latent_cond(
         (1, 2), guidance_scale=3.0, key=jax.random.PRNGKey(5),
         to_pil=False, image_hw=(128, 128), method="ddpm_cached",
-        num_inference_steps=2,
+        cache_interval=2,
     )
     assert np.asarray(imgs).shape == (2, 128, 128, 3)
     assert np.isfinite(np.asarray(imgs)).all()

@@ -270,3 +270,33 @@ def test_train_cli_fsdp_flag_parses():
     args = build_parser().parse_args(
         ["--vae_ckpt", "x.msgpack", "--fsdp"])
     assert args.fsdp
+
+
+def test_reshard_train_state_covers_opt_and_ema():
+    """After an Orbax restore leaves come back sharding-less;
+    reshard_train_state must re-apply FSDP to params, BOTH Adam moments,
+    and the EMA copy (code-review finding: resume silently dropped ZeRO)."""
+    import optax
+
+    from diffusion_model_tpu.parallel import reshard_train_state
+    from diffusion_model_tpu.train import make_train_state
+
+    mesh = make_mesh(("data",))
+    params = {"k": jnp.zeros((8, 256)), "b": jnp.zeros((4,))}
+    state = make_train_state(lambda p, x: x, params, optax.adam(1e-3),
+                             ema_decay=0.9)
+    # simulate restore: host round-trip strips shardings
+    state = jax.device_put(jax.device_get(state))
+    state = reshard_train_state(state, mesh, fsdp=True,
+                                fsdp_min_size=1 << 8)
+
+    def data_sharded(leaf):
+        return any(ax == "data" for ax in leaf.sharding.spec
+                   if ax is not None)
+
+    assert data_sharded(state.params["k"])
+    adam = state.opt_state[0]
+    assert data_sharded(adam.mu["k"]) and data_sharded(adam.nu["k"])
+    assert data_sharded(state.ema_params["k"])
+    # small leaf stays replicated everywhere
+    assert not data_sharded(state.params["b"])
