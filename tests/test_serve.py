@@ -91,6 +91,17 @@ def test_generate_ddim_parallel(server):
     assert code == 200 and len(body["images"]) == 1
 
 
+def test_generate_ddpm_cached(server):
+    """Encoder-cached DDPM through the serving surface; cache_interval is
+    its own request field (a stray num_inference_steps must NOT become
+    the encoder cadence — review finding)."""
+    code, body = _post(server, {"class_id": 2, "count": 1,
+                                "sampler": "ddpm_cached",
+                                "cache_interval": 2,
+                                "num_inference_steps": 50})
+    assert code == 200 and len(body["images"]) == 1
+
+
 def test_generate_rejects_bad_requests(server):
     code, body = _post(server, {"class_id": 9})
     assert code == 400 and "class_id" in body["error"]
