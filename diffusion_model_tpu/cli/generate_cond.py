@@ -36,11 +36,13 @@ def build_pipeline_from_args(args) -> DiffusionPipeline:
         dtype=dt,
     ))
     ih, iw = args.image_size
-    return DiffusionPipeline.from_checkpoints(
+    pipe = DiffusionPipeline.from_checkpoints(
         args.unet_ckpt, args.vae_ckpt, unet, vae,
         schedule=DiffusionSchedule.create(args.num_timesteps),
         latent_hw=(ih // 8, iw // 8), image_hw=(ih, iw),
     )
+    pipe.prediction_type = getattr(args, "prediction_type", "epsilon")
+    return pipe
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -67,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drawing canvas; pass -1 -1 to infer per CSV")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no_bf16", action="store_true")
+    ap.add_argument("--prediction_type", choices=["epsilon", "v"],
+                    default="epsilon",
+                    help="what the checkpoint predicts (match training)")
     ap.add_argument("--sampler",
                     choices=["ddpm", "ddim", "dpmpp", "ddpm_cached"],
                     default="ddpm",
@@ -76,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "dpmpp is 2nd-order DPM-Solver++(2M)")
     ap.add_argument("--num_inference_steps", type=int, default=50,
                     help="model evaluations when --sampler ddim")
+    ap.add_argument("--timestep_spacing", choices=["linear", "karras"],
+                    default="linear",
+                    help="fast-sampler step grid: uniform stride or EDM "
+                         "rho=7 sigma spacing (ddim/dpmpp only)")
     ap.add_argument("--eta", type=float, default=0.0,
                     help="DDIM stochasticity (0 = deterministic)")
     ap.add_argument("--cache_interval", type=int, default=2,
@@ -115,6 +124,7 @@ def main(argv=None) -> None:
             num_inference_steps=args.num_inference_steps,
             cache_interval=args.cache_interval,
             eta=args.eta,
+            timestep_spacing=args.timestep_spacing,
         )
         dt = time.time() - tic
         save_images(cls_dir, images)

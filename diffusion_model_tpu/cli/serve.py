@@ -10,6 +10,7 @@ Endpoints:
         "guidance_scale": float = 3.0,
         "sampler": "ddpm" | "ddim" | "dpmpp" | "ddim_parallel" | "ddpm_cached",
         "num_inference_steps": int, "cache_interval": int (ddpm_cached encoder cadence, default 2),
+        "timestep_spacing": "linear" | "karras" (ddim/dpmpp step grid),
         "seed": int}
      response: {"images": [<base64 PNG>, ...], "elapsed_s": ...}
 
@@ -44,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--geom_dim", type=int, default=12)
     ap.add_argument("--image_size", type=int, nargs=2, default=(224, 224))
     ap.add_argument("--no_bf16", action="store_true")
+    ap.add_argument("--prediction_type", choices=["epsilon", "v"],
+                    default="epsilon",
+                    help="what the checkpoint predicts (match training)")
     ap.add_argument("--warm", action="store_true",
                     help="compile the default DDPM shape at startup")
     ap.add_argument("--default_sampler",
@@ -113,6 +117,8 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler):
                     num_inference_steps=int(
                         req.get("num_inference_steps", 50)),
                     cache_interval=int(req.get("cache_interval", 2)),
+                    timestep_spacing=str(
+                        req.get("timestep_spacing", "linear")),
                     batch_size=max_batch,
                     remainder="pad",
                 )

@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--synthetic_count", type=int, default=256)
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel width over the mesh 'model' axis")
+    ap.add_argument("--prediction_type", choices=["epsilon", "v"],
+                    default="epsilon",
+                    help="denoising target; v-trained checkpoints need "
+                         "--prediction_type v at generation too")
+    ap.add_argument("--schedule", choices=["linear", "cosine"],
+                    default="linear", help="noise schedule")
     ap.add_argument("--ema_decay", type=float, default=0.0,
                     help="EMA of U-Net weights (e.g. 0.999); also writes "
                          "trained_para_ema.msgpack")
@@ -69,6 +75,7 @@ def main(argv=None) -> None:
         tp=args.tp, fsdp=args.fsdp, remat=args.remat,
         distributed=args.distributed,
         ema_decay=args.ema_decay,
+        prediction_type=args.prediction_type, schedule_kind=args.schedule,
         data=DataConfig(
             train_items=parse_items(args.items),
             val_items=parse_items(args.val_items),

@@ -69,6 +69,11 @@ class LatentTrainConfig:
     geom_lambda: float = 0.0
     geom_dim: int = 12
     val_interval: int = 5
+    # Regression target: "epsilon" (reference semantics) or "v"
+    # (Salimans & Ho 2022). Samplers convert v->eps exactly at inference.
+    prediction_type: str = "epsilon"
+    # Noise schedule: "linear" (reference) or "cosine" (improved DDPM).
+    schedule_kind: str = "linear"
     # EMA of the U-Net weights (0 = off). When on, the rolling/final saves
     # also write trained_para_ema.msgpack — usually the better sampling
     # checkpoint (standard diffusion practice the reference lacks).

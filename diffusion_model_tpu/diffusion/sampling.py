@@ -72,6 +72,28 @@ def ddpm_posterior_step(
     return mu + noise * keep_noise * std
 
 
+def v_target(
+    schedule: DiffusionSchedule, x0: jnp.ndarray, t: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> jnp.ndarray:
+    """v-prediction training target (Salimans & Ho 2022, progressive
+    distillation): ``v = √ᾱ_t·ε − √(1−ᾱ_t)·x₀``. Beyond-reference option —
+    the reference trains ε-prediction only."""
+    ab = _bcast(schedule.alpha_bar(t), x0.ndim)
+    return jnp.sqrt(ab) * noise - jnp.sqrt(1.0 - ab) * x0
+
+
+def v_to_eps(
+    schedule: DiffusionSchedule, x_t: jnp.ndarray, t: jnp.ndarray,
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Exact ε from a v-prediction: ``ε = √ᾱ_t·v + √(1−ᾱ_t)·x_t`` (algebraic
+    identity from x_t = √ᾱ·x₀ + √(1−ᾱ)·ε). Lets every ε-based sampler
+    (DDPM/DDIM/DPM++/cached) consume a v-trained model unchanged."""
+    ab = _bcast(schedule.alpha_bar(t), x_t.ndim)
+    return jnp.sqrt(ab) * v + jnp.sqrt(1.0 - ab) * x_t
+
+
 def cfg_eps(
     eps_fn: EpsFn,
     x: jnp.ndarray,
@@ -154,6 +176,7 @@ def sample_loop_encoder_cached(
     guidance_scale: float = 0.0,
     null_label: int = 0,
     cache_interval: int = 2,
+    model_out_to_eps=None,
 ) -> jnp.ndarray:
     """DDPM reverse loop with encoder-feature caching.
 
@@ -192,18 +215,18 @@ def sample_loop_encoder_cached(
     def model_inputs(x, i):
         t2 = jnp.full((mult * B,), T - i, dtype=jnp.int32)
         x2 = jnp.concatenate([x, x], axis=0) if cfg_on else x
-        return x2, embed_fn(t2, y2, cv2, cm2)
+        return x2, t2, embed_fn(t2, y2, cv2, cm2)
 
     # carry needs concrete feature shapes; step 0 recomputes anyway, so
     # zero-filled placeholders of the traced shapes suffice
-    x2_0, emb0 = model_inputs(x_init, jnp.asarray(0))
+    x2_0, _t2_0, emb0 = model_inputs(x_init, jnp.asarray(0))
     feat_shapes = jax.eval_shape(encode_fn, x2_0, emb0)
     feats0 = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), feat_shapes)
 
     def step(carry, i):
         x, feats = carry
-        x2, emb = model_inputs(x, i)
+        x2, t2, emb = model_inputs(x, i)
         feats = jax.lax.cond(
             i % cache_interval == 0,
             lambda op: encode_fn(op[0], op[1]),
@@ -211,6 +234,8 @@ def sample_loop_encoder_cached(
             (x2, emb, feats),
         )
         eps2 = decode_fn(feats, emb)
+        if model_out_to_eps is not None:  # e.g. v-prediction conversion
+            eps2 = model_out_to_eps(x2, t2, eps2)
         if cfg_on:
             eps_u, eps_c = jnp.split(eps2, 2, axis=0)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
@@ -280,6 +305,61 @@ def ddim_timesteps(num_timesteps: int, num_inference_steps: int) -> jnp.ndarray:
                        dtype=jnp.int32)
 
 
+def _karras_timesteps_np(schedule: DiffusionSchedule,
+                         num_inference_steps: int, rho: float = 7.0,
+                         sigma_max_cap: float = 80.0):
+    """Karras et al. (2022, arXiv:2206.00364) ρ-spaced sigma grid, snapped
+    to the discrete schedule. Beyond-reference option: the EDM paper's
+    σ_i = (σ_max^{1/ρ} + i/(S−1)·(σ_min^{1/ρ} − σ_max^{1/ρ}))^ρ spends most
+    model evaluations at LOW noise where few-step samplers lose detail; the
+    default ρ=7 is the paper's. Each σ maps to the nearest discrete t of
+    the trained model (σ(t) = √((1−ᾱ_t)/ᾱ_t), strictly increasing), then
+    dedupes — so the model always sees timesteps it was trained on.
+
+    σ_max is capped at ``sigma_max_cap`` (EDM's 80, sized for unit-variance
+    data — which the ×0.18215-scaled latents are): schedules whose ᾱ_T is
+    astronomically small (e.g. cosine with betas clipped at 0.999 →
+    σ_T ~ 1e15) would otherwise pull most of the ρ-grid into the last few
+    timesteps and collapse it under dedup. The first evaluation is always
+    pinned to t=T regardless, so x_init is consumed at the exact noise
+    level it was drawn at. Host-side numpy only (safe inside a jit trace;
+    see _ddim_timesteps_np).
+    """
+    import numpy as _np
+
+    ab = _np.asarray(schedule.alpha_bars, dtype=_np.float64)
+    sig = _np.sqrt((1.0 - ab) / ab)  # VE-parameterized sigma, increasing
+    T = schedule.num_timesteps
+    S = min(num_inference_steps, T)
+    if S <= 1:
+        return _np.asarray([1], dtype=_np.int32)
+    smin = sig[0]
+    smax = min(sig[-1], max(sigma_max_cap, 4.0 * smin))
+    frac = _np.linspace(0.0, 1.0, S - 1) if S > 2 else _np.asarray([1.0])
+    sigmas = (smax ** (1.0 / rho)
+              + frac * (smin ** (1.0 / rho) - smax ** (1.0 / rho))) ** rho
+    idx = _np.clip(_np.searchsorted(sig, sigmas), 1, len(sig) - 1)
+    lo = idx - 1
+    take_lo = _np.abs(sig[lo] - sigmas) <= _np.abs(sig[idx] - sigmas)
+    t = _np.where(take_lo, lo, idx) + 1  # 1-indexed timesteps
+    t = _np.concatenate([[T], t])        # pin the first eval to t=T
+    return _np.unique(t)[::-1].copy().astype(_np.int32)  # descending
+
+
+def sampler_timesteps_np(schedule: DiffusionSchedule,
+                         num_inference_steps: int,
+                         timestep_spacing: str = "linear"):
+    """Descending 1-indexed timestep grid for the fast samplers:
+    ``"linear"`` (uniform stride, the DDIM-paper default) or ``"karras"``
+    (ρ=7 sigma spacing, denser near t=1)."""
+    if timestep_spacing == "karras":
+        return _karras_timesteps_np(schedule, num_inference_steps)
+    if timestep_spacing == "linear":
+        return _ddim_timesteps_np(schedule.num_timesteps,
+                                  num_inference_steps)
+    raise ValueError(f"unknown timestep_spacing {timestep_spacing!r}")
+
+
 def sample_loop_ddim(
     schedule: DiffusionSchedule,
     eps_fn: EpsFn,
@@ -292,6 +372,7 @@ def sample_loop_ddim(
     cond_mask: Optional[jnp.ndarray] = None,
     guidance_scale: float = 0.0,
     null_label: int = 0,
+    timestep_spacing: str = "linear",
 ) -> jnp.ndarray:
     """DDIM reverse process over a strided subsequence, as one lax.scan."""
     B = x_init.shape[0]
@@ -299,7 +380,9 @@ def sample_loop_ddim(
         y = jnp.full((B,), null_label, dtype=jnp.int32)
         guidance_scale = 0.0
 
-    ts = ddim_timesteps(schedule.num_timesteps, num_inference_steps)
+    ts = jnp.asarray(
+        sampler_timesteps_np(schedule, num_inference_steps,
+                             timestep_spacing), dtype=jnp.int32)
     ts_prev = jnp.concatenate([ts[1:], jnp.zeros((1,), jnp.int32)])
 
     def step(x, it):
@@ -330,6 +413,7 @@ def sample_loop_dpmpp(
     cond_mask: Optional[jnp.ndarray] = None,
     guidance_scale: float = 0.0,
     null_label: int = 0,
+    timestep_spacing: str = "linear",
 ) -> jnp.ndarray:
     """DPM-Solver++(2M): second-order multistep ODE sampler (Lu et al. 2022).
 
@@ -365,7 +449,8 @@ def sample_loop_dpmpp(
     # where any jnp call would be STAGED into a traced constant (omnistaging)
     # and break the np conversions below. schedule.alpha_bars is a concrete
     # table built at schedule construction, so plain indexing stays on host.
-    ts_np = _ddim_timesteps_np(schedule.num_timesteps, num_inference_steps)
+    ts_np = sampler_timesteps_np(schedule, num_inference_steps,
+                                 timestep_spacing)
     S = int(ts_np.shape[0])
 
     # Per-step scalar coefficients, all in float64 numpy at trace time.

@@ -42,8 +42,27 @@ class DiffusionSchedule:
         num_timesteps: int = 1000,
         beta_start: float = 1e-4,
         beta_end: float = 0.02,
+        kind: str = "linear",
+        cosine_s: float = 0.008,
     ) -> "DiffusionSchedule":
-        betas = np.linspace(beta_start, beta_end, num_timesteps, dtype=np.float64)
+        """``kind="linear"`` is the reference schedule (diff.py:11-16).
+        ``kind="cosine"`` is the Nichol & Dhariwal (2021) improved-DDPM
+        schedule — ᾱ(t) = cos²(((t/T + s)/(1 + s))·π/2), betas derived as
+        1 − ᾱ_t/ᾱ_{t−1} and clipped to ≤0.999. Beyond-reference option:
+        every sampler (DDPM/DDIM/DPM++/cached) reads only betas/ᾱ, so the
+        schedule choice composes with all of them."""
+        if kind == "linear":
+            betas = np.linspace(beta_start, beta_end, num_timesteps,
+                                dtype=np.float64)
+        elif kind == "cosine":
+            def f(u):
+                return np.cos((u + cosine_s) / (1.0 + cosine_s)
+                              * np.pi / 2.0) ** 2
+            ts = np.arange(num_timesteps + 1, dtype=np.float64)
+            ab = f(ts / num_timesteps) / f(0.0)
+            betas = np.clip(1.0 - ab[1:] / ab[:-1], 0.0, 0.999)
+        else:
+            raise ValueError(f"unknown schedule kind {kind!r}")
         alphas = 1.0 - betas
         alpha_bars = np.cumprod(alphas)
         return cls(

@@ -38,6 +38,7 @@ from .diffusion import (
     sample_loop_dpmpp,
     sample_loop_with_snapshots,
 )
+from .diffusion.sampling import v_to_eps
 from .models import VAE, CondUNet
 from .parallel import make_mesh, shard_batch
 from .train.checkpoints import load_params
@@ -90,6 +91,11 @@ class DiffusionPipeline:
     vae_params: Optional[dict]
     schedule: DiffusionSchedule
     use_data_parallel: bool = True
+    # "epsilon" (reference semantics) or "v": what the U-Net checkpoint was
+    # trained to predict; "v" outputs are converted to ε exactly inside the
+    # jitted program (diffusion.sampling.v_to_eps), so every sampler works
+    # with either parameterization
+    prediction_type: str = "epsilon"
     # decode the final latents in fixed chunks of this many images inside
     # the jit (0 = whole batch); bounds 224² decoder intermediates at large
     # batches — see _decode
@@ -145,22 +151,26 @@ class DiffusionPipeline:
     def _eps_fn(self, params):
         def eps(x, t, y, cv, cm):
             out = self.unet.apply({"params": params}, x, t, y, cv, cm)
-            return out[0] if isinstance(out, tuple) else out
+            out = out[0] if isinstance(out, tuple) else out
+            if self.prediction_type == "v":
+                out = v_to_eps(self.schedule, x, t, out)
+            return out
         return eps
 
     def _sampler(self, guidance_scale: float, decode: bool, snapshots: bool,
                  method: str = "ddpm", num_inference_steps: int = 0,
                  eta: float = 0.0, quantize: bool = False,
-                 cache_interval: int = 2):
+                 cache_interval: int = 2, timestep_spacing: str = "linear"):
         """Build (and cache) the jitted scan+decode program."""
         key_ = (float(guidance_scale), decode, snapshots, method,
                 int(num_inference_steps), float(eta), quantize,
-                int(self.decode_chunk), int(cache_interval))
+                int(self.decode_chunk), int(cache_interval),
+                self.prediction_type, timestep_spacing)
         with self._compile_lock:
             return self._sampler_locked(key_, guidance_scale, decode,
                                         snapshots, method,
                                         num_inference_steps, eta, quantize,
-                                        cache_interval)
+                                        cache_interval, timestep_spacing)
 
     def _decode(self, vae_params, zf):
         """VAE decode inside the sampling jit, optionally in fixed-size
@@ -183,7 +193,7 @@ class DiffusionPipeline:
 
     def _sampler_locked(self, key_, guidance_scale, decode, snapshots,
                         method, num_inference_steps, eta, quantize,
-                        cache_interval=2):
+                        cache_interval=2, timestep_spacing="linear"):
         if key_ in self._compiled:
             return self._compiled[key_]
 
@@ -216,6 +226,7 @@ class DiffusionPipeline:
                     num_inference_steps=num_inference_steps or 20,
                     y=y, cond_vals=vals, cond_mask=mask,
                     guidance_scale=guidance_scale,
+                    timestep_spacing=timestep_spacing,
                 )
                 snaps = None
             elif method == "ddpm_cached":
@@ -237,11 +248,16 @@ class DiffusionPipeline:
                                           emb, method=_CU.decode)
                     return out[0] if isinstance(out, tuple) else out
 
+                to_eps = None
+                if self.prediction_type == "v":
+                    to_eps = (lambda x2, t2, out:
+                              v_to_eps(self.schedule, x2, t2, out))
                 zf = sample_loop_encoder_cached(
                     self.schedule, _embed, _encode, _decode_eps, x_init,
                     key, y=y, cond_vals=vals, cond_mask=mask,
                     guidance_scale=guidance_scale,
                     cache_interval=max(1, int(cache_interval)),
+                    model_out_to_eps=to_eps,
                 )
                 snaps = None
             elif method == "ddim":
@@ -250,6 +266,7 @@ class DiffusionPipeline:
                     num_inference_steps=num_inference_steps or 50, eta=eta,
                     y=y, cond_vals=vals, cond_mask=mask,
                     guidance_scale=guidance_scale,
+                    timestep_spacing=timestep_spacing,
                 )
                 snaps = None
             else:
@@ -297,6 +314,7 @@ class DiffusionPipeline:
         num_inference_steps: int = 0,
         cache_interval: int = 2,
         eta: float = 0.0,
+        timestep_spacing: str = "linear",
         quantize: Optional[bool] = None,
         remainder: str = "pad",
     ):
@@ -314,6 +332,9 @@ class DiffusionPipeline:
         ``num_inference_steps`` model evaluations (default 50) and
         ``method="dpmpp"`` to second-order DPM-Solver++(2M) (default 20
         evaluations) — beyond-reference fast paths.
+        ``timestep_spacing="karras"`` swaps their uniform-stride grid for
+        the EDM ρ=7 sigma spacing (denser near t=1; usually better few-step
+        detail — see docs/SAMPLERS.md).
         ``quantize`` converts decoded images to uint8 ON DEVICE (default:
         whenever the caller only needs uint8, i.e. ``to_pil and decode``) —
         4× less device→host transfer.
@@ -342,6 +363,7 @@ class DiffusionPipeline:
                             method=method,
                             num_inference_steps=num_inference_steps, eta=eta,
                             cache_interval=cache_interval,
+                            timestep_spacing=timestep_spacing,
                             quantize=quantize)
 
         if remainder not in ("pad", "exact"):
@@ -561,6 +583,7 @@ class CsvConditionSampler:
         num_inference_steps: int = 0,
         cache_interval: int = 2,
         eta: float = 0.0,
+        timestep_spacing: str = "linear",
     ):
         vals, mask = self.load_cond(csv_path, count, start)
         return self.pipeline.sample_latent_cond(
@@ -570,4 +593,5 @@ class CsvConditionSampler:
             batch_size=batch_size, method=method,
             num_inference_steps=num_inference_steps, eta=eta,
             cache_interval=cache_interval,
+            timestep_spacing=timestep_spacing,
         )

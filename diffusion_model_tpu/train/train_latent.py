@@ -29,6 +29,7 @@ from ..config import LatentTrainConfig
 from ..data import LabelDataset, PrefetchLoader
 from ..data.synthetic import generate_all_classes
 from ..diffusion import DiffusionSchedule, q_sample
+from ..diffusion.sampling import v_target
 from ..models import VAE, VAEConfig, CondUNet, UNetConfig
 from ..parallel import (replicate, reshard_train_state, shard_batch,
                         shard_params, training_mesh)
@@ -85,9 +86,21 @@ def _unet_apply(unet: CondUNet, remat: bool):
     return jax.checkpoint(apply) if remat else apply
 
 
+def _noise_target(schedule: DiffusionSchedule, prediction_type: str,
+                  z: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray):
+    """The denoising regression target: ε (reference semantics) or v
+    (Salimans & Ho 2022; opt-in via cfg.prediction_type="v"). Sampling
+    converts v→ε exactly (diffusion.sampling.v_to_eps), so checkpoints
+    trained either way run on every sampler."""
+    if prediction_type == "v":
+        return v_target(schedule, z, t, noise)
+    return noise
+
+
 def make_latent_train_step(
     unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
     cfg_drop_prob: float, geom_lambda: float, remat: bool = False,
+    prediction_type: str = "epsilon",
 ):
     T = schedule.num_timesteps
     unet_fwd = _unet_apply(unet, remat)
@@ -106,6 +119,7 @@ def make_latent_train_step(
         t = jax.random.randint(k_t, (B,), 1, T + 1)
         noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
         z_noisy = q_sample(schedule, z, t, noise)
+        target = _noise_target(schedule, prediction_type, z, t, noise)
 
         # external CFG dropout (class + numeric together)
         drop = jax.random.uniform(k_drop, (B,)) < cfg_drop_prob
@@ -118,7 +132,7 @@ def make_latent_train_step(
             eps_pred, geom_pred = unet_fwd(
                 params, z_noisy, t, y_used, vals_used, mask_used
             )
-            loss_noise = jnp.mean(jnp.square(eps_pred - noise))
+            loss_noise = jnp.mean(jnp.square(eps_pred - target))
             # geom supervision targets the TRUE vals, masked by keep
             loss_geom = masked_geom_mse(
                 geom_pred, batch["vals"], batch["mask"] * keep
@@ -138,6 +152,7 @@ def make_latent_train_step(
 def make_latent_train_step_indexed(
     unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
     cfg_drop_prob: float, geom_lambda: float, remat: bool = False,
+    prediction_type: str = "epsilon",
 ):
     """Device-resident data path: gathers (image, vals, mask, y) from
     HBM-resident arrays by int32 indices inside the jitted step."""
@@ -161,6 +176,7 @@ def make_latent_train_step_indexed(
         t = jax.random.randint(k_t, (B,), 1, T + 1)
         noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
         z_noisy = q_sample(schedule, z, t, noise)
+        target = _noise_target(schedule, prediction_type, z, t, noise)
 
         drop = jax.random.uniform(k_drop, (B,)) < cfg_drop_prob
         y_used = jnp.where(drop, 0, y_b).astype(jnp.int32)
@@ -172,7 +188,7 @@ def make_latent_train_step_indexed(
             eps_pred, geom_pred = unet_fwd(
                 params, z_noisy, t, y_used, vals_used, mask_used
             )
-            loss_noise = jnp.mean(jnp.square(eps_pred - noise))
+            loss_noise = jnp.mean(jnp.square(eps_pred - target))
             loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b * keep)
             loss = loss_noise + geom_lambda * loss_geom
             return loss, {"loss_noise": loss_noise, "loss_geom": loss_geom}
@@ -187,7 +203,8 @@ def make_latent_train_step_indexed(
 
 
 def make_latent_eval_step_indexed(
-    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule, geom_lambda: float
+    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
+    geom_lambda: float, prediction_type: str = "epsilon",
 ):
     T = schedule.num_timesteps
 
@@ -207,10 +224,11 @@ def make_latent_eval_step_indexed(
         t = jax.random.randint(k_t, (B,), 1, T + 1)
         noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
         z_noisy = q_sample(schedule, z, t, noise)
+        target = _noise_target(schedule, prediction_type, z, t, noise)
         eps_pred, geom_pred = unet.apply(
             {"params": params}, z_noisy, t, y_b, vals_b, mask_b
         )
-        loss_noise = jnp.mean(jnp.square(eps_pred - noise))
+        loss_noise = jnp.mean(jnp.square(eps_pred - target))
         loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b)
         return {"loss": loss_noise + geom_lambda * loss_geom,
                 "loss_noise": loss_noise, "loss_geom": loss_geom}
@@ -221,6 +239,7 @@ def make_latent_eval_step_indexed(
 def make_latent_epoch_fn(
     unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
     cfg_drop_prob: float, geom_lambda: float, remat: bool = False,
+    prediction_type: str = "epsilon",
 ):
     """A full stage-2 training epoch as ONE jitted program (lax.scan over
     index batches of the HBM-resident dataset): frozen-VAE encode, q-sample,
@@ -249,6 +268,7 @@ def make_latent_epoch_fn(
             t = jax.random.randint(k_t, (B,), 1, T + 1)
             noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
             z_noisy = q_sample(schedule, z, t, noise)
+            target = _noise_target(schedule, prediction_type, z, t, noise)
 
             drop = jax.random.uniform(k_drop, (B,)) < cfg_drop_prob
             y_used = jnp.where(drop, 0, y_b).astype(jnp.int32)
@@ -259,7 +279,7 @@ def make_latent_epoch_fn(
                     params, z_noisy, t, y_used,
                     vals_b * keep, mask_b * keep,
                 )
-                loss_noise = jnp.mean(jnp.square(eps_pred - noise))
+                loss_noise = jnp.mean(jnp.square(eps_pred - target))
                 loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b * keep)
                 return loss_noise + geom_lambda * loss_geom
 
@@ -276,7 +296,8 @@ def make_latent_epoch_fn(
 
 
 def make_latent_eval_epoch_fn(
-    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule, geom_lambda: float
+    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
+    geom_lambda: float, prediction_type: str = "epsilon",
 ):
     """Validation epoch as one jitted scan. Besides the scalar loss it
     reports geom-head masked MAE and PER-CLASS ε-MSE (VERDICT r2: the
@@ -302,10 +323,11 @@ def make_latent_eval_epoch_fn(
             t = jax.random.randint(k_t, (B,), 1, T + 1)
             noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
             z_noisy = q_sample(schedule, z, t, noise)
+            target = _noise_target(schedule, prediction_type, z, t, noise)
             eps_pred, geom_pred = unet.apply(
                 {"params": params}, z_noisy, t, y_b, vals_b, mask_b
             )
-            loss = jnp.mean(jnp.square(eps_pred - noise)) + (
+            loss = jnp.mean(jnp.square(eps_pred - target)) + (
                 geom_lambda * masked_geom_mse(geom_pred, vals_b, mask_b)
             )
             cls_sum, cls_cnt = per_class_noise_loss(eps_pred, noise, y_b)
@@ -324,8 +346,8 @@ def make_latent_eval_epoch_fn(
 
 
 def make_latent_eval_step(
-    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule, geom_lambda: float
-):
+    unet: CondUNet, vae: VAE, schedule: DiffusionSchedule, geom_lambda: float,
+                          prediction_type: str = "epsilon"):
     """Validation: no dropout (conditional performance,
     train_latent_cond.py:195-209)."""
     T = schedule.num_timesteps
@@ -341,11 +363,12 @@ def make_latent_eval_step(
         t = jax.random.randint(k_t, (B,), 1, T + 1)
         noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
         z_noisy = q_sample(schedule, z, t, noise)
+        target = _noise_target(schedule, prediction_type, z, t, noise)
         eps_pred, geom_pred = unet.apply(
             {"params": params}, z_noisy, t, batch["y"].astype(jnp.int32),
             batch["vals"], batch["mask"],
         )
-        loss_noise = jnp.mean(jnp.square(eps_pred - noise))
+        loss_noise = jnp.mean(jnp.square(eps_pred - target))
         loss_geom = masked_geom_mse(geom_pred, batch["vals"], batch["mask"])
         return {"loss": loss_noise + geom_lambda * loss_geom,
                 "loss_noise": loss_noise, "loss_geom": loss_geom}
@@ -387,7 +410,8 @@ def train_latent_cond(cfg: LatentTrainConfig,
     mesh = training_mesh(cfg.batch_size, tp=cfg.tp,
                          distributed=cfg.distributed)
     vae, unet = build_models(cfg)
-    schedule = DiffusionSchedule.create(cfg.num_timesteps)
+    schedule = DiffusionSchedule.create(
+        cfg.num_timesteps, kind=getattr(cfg, "schedule_kind", "linear"))
 
     if vae_params is None:
         if not cfg.vae_ckpt:
@@ -436,21 +460,25 @@ def train_latent_cond(cfg: LatentTrainConfig,
         train_epoch_fn = make_latent_epoch_fn(
             unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda,
             remat=getattr(cfg, "remat", False),
+            prediction_type=getattr(cfg, "prediction_type", "epsilon"),
         )
     else:
         train_step = make_latent_train_step(
             unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda,
             remat=getattr(cfg, "remat", False),
+            prediction_type=getattr(cfg, "prediction_type", "epsilon"),
         )
         train_loader = PrefetchLoader(train_ds, cfg.batch_size, shuffle=True,
                                       seed=cfg.seed, device_put_fn=put)
     if val_dev is not None:
         eval_epoch_fn = make_latent_eval_epoch_fn(
-            unet, vae, schedule, cfg.geom_lambda
+            unet, vae, schedule, cfg.geom_lambda,
+            prediction_type=getattr(cfg, "prediction_type", "epsilon"),
         )
     else:
-        eval_step = make_latent_eval_step(unet, vae, schedule,
-                                          cfg.geom_lambda)
+        eval_step = make_latent_eval_step(
+            unet, vae, schedule, cfg.geom_lambda,
+            prediction_type=getattr(cfg, "prediction_type", "epsilon"))
         val_loader = PrefetchLoader(val_ds, cfg.batch_size, shuffle=False,
                                     device_put_fn=put)
 

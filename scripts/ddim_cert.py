@@ -38,6 +38,8 @@ def main():
                     help="for ddpm_cached, --steps is the encoder cache "
                          "interval k (full T=1000 retained)")
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--spacing", choices=("linear", "karras"),
+                    default="linear", help="ddim/dpmpp step grid")
     ap.add_argument("--eta", type=float, default=0.0)
     ap.add_argument("--gen_count", type=int, default=200)
     ap.add_argument("--guidance", type=float, default=3.0)
@@ -77,6 +79,8 @@ def main():
     for cls, cname in CLASS_NAMES.items():
         d = f"./data/{cname}_{sfx}_test"
         tag = f"{args.method}{args.steps}"
+        if args.spacing != "linear":
+            tag += f"_{args.spacing}"
         cls_dir = f"./generated_by_cond/{tag}/{cname}"
         os.makedirs(cls_dir, exist_ok=True)
         sampler.set_class_id(cls)
@@ -87,6 +91,7 @@ def main():
             method=args.method,
             num_inference_steps=(0 if args.method == "ddpm_cached"
                                  else args.steps),
+            timestep_spacing=args.spacing,
             cache_interval=(args.steps if args.method == "ddpm_cached"
                             else 2),
             eta=args.eta,
@@ -113,7 +118,8 @@ def main():
         with open(args.ddpm_summary) as f:
             log["ddpm_metrics"] = json.load(f).get("metrics")
 
-    with open(f"{args.method}{args.steps}_cert.json", "w") as f:
+    _sfx = "" if args.spacing == "linear" else f"_{args.spacing}"
+    with open(f"{args.method}{args.steps}{_sfx}_cert.json", "w") as f:
         json.dump(log, f, indent=2)
     print(json.dumps(log, indent=2), flush=True)
 

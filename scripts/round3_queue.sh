@@ -100,4 +100,14 @@ run continue_cos quality_r2/continue_summary_cos.json \
   python scripts/continue_latent.py --root ./quality_r2 --epochs 300 \
     --lr_schedule cosine --tag _cos --ckpt ./model_para/trained_para_cont.msgpack
 
+# --- 9. fresh headline bench (default config) for BASELINE.md round-3 table
+run bench_headline "$LOG/bench_headline.done" \
+  env BENCH_REPS=5 python bench.py
+grep -q '"metric"' "$LOG/bench_headline.log" 2>/dev/null && touch "$LOG/bench_headline.done"
+
+# --- 10. fast-sampler throughput: DDIM-50 + DPM++(2M)-20/50 extras
+run bench_fast "$LOG/bench_fast.done" \
+  env BENCH_DDIM=1 BENCH_DPMPP=1 BENCH_REPS=3 python bench.py
+grep -q '"metric"' "$LOG/bench_fast.log" 2>/dev/null && touch "$LOG/bench_fast.done"
+
 echo "[$(stamp)] queue complete"
