@@ -102,6 +102,12 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler):
                     raise ValueError(
                         "sampler must be 'ddpm', 'ddim', 'dpmpp', "
                         "'ddim_parallel' or 'ddpm_cached'")
+                spacing = str(req.get("timestep_spacing", "linear"))
+                if spacing not in ("linear", "karras"):
+                    # reject before the jit trace so the client gets a 400,
+                    # not a mid-compile server error
+                    raise ValueError(
+                        "timestep_spacing must be 'linear' or 'karras'")
                 tic = time.time()
                 # Static-shape bucketing: every request runs the warmed
                 # max_batch program (short requests padded, padding
@@ -117,8 +123,7 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler):
                     num_inference_steps=int(
                         req.get("num_inference_steps", 50)),
                     cache_interval=int(req.get("cache_interval", 2)),
-                    timestep_spacing=str(
-                        req.get("timestep_spacing", "linear")),
+                    timestep_spacing=spacing,
                     batch_size=max_batch,
                     remainder="pad",
                 )
