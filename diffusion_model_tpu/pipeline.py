@@ -22,6 +22,7 @@ data.geometry.conditions_from_dicts).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -162,15 +163,20 @@ class DiffusionPipeline:
                  eta: float = 0.0, quantize: bool = False,
                  cache_interval: int = 2, timestep_spacing: str = "linear"):
         """Build (and cache) the jitted scan+decode program."""
+        # DDPM scan unroll factor: a pure scheduling A/B knob (see
+        # sample_loop docstring); env-read so bench.py can sweep it without
+        # API churn, and part of the cache key so a changed value recompiles.
+        unroll = max(1, int(os.environ.get("DIFFUSION_TPU_SCAN_UNROLL", "1")))
         key_ = (float(guidance_scale), decode, snapshots, method,
                 int(num_inference_steps), float(eta), quantize,
                 int(self.decode_chunk), int(cache_interval),
-                self.prediction_type, timestep_spacing)
+                self.prediction_type, timestep_spacing, unroll)
         with self._compile_lock:
             return self._sampler_locked(key_, guidance_scale, decode,
                                         snapshots, method,
                                         num_inference_steps, eta, quantize,
-                                        cache_interval, timestep_spacing)
+                                        cache_interval, timestep_spacing,
+                                        unroll)
 
     def _decode(self, vae_params, zf):
         """VAE decode inside the sampling jit, optionally in fixed-size
@@ -193,7 +199,8 @@ class DiffusionPipeline:
 
     def _sampler_locked(self, key_, guidance_scale, decode, snapshots,
                         method, num_inference_steps, eta, quantize,
-                        cache_interval=2, timestep_spacing="linear"):
+                        cache_interval=2, timestep_spacing="linear",
+                        unroll=1):
         if key_ in self._compiled:
             return self._compiled[key_]
 
@@ -273,6 +280,7 @@ class DiffusionPipeline:
                 zf = sample_loop(
                     self.schedule, eps, x_init, key, y=y, cond_vals=vals,
                     cond_mask=mask, guidance_scale=guidance_scale,
+                    unroll=unroll,
                 )
                 snaps = None
             if decode and self.vae is not None:

@@ -62,6 +62,8 @@ def main():
         "hybrid XLA-conv + Pallas-GN": f"{args.qlog}/bench_gn_hybrid.log",
         "bf16 attention scores": f"{args.qlog}/bench_bf16_scores.log",
         "encoder-cached k=2,3": f"{args.qlog}/bench_cached.log",
+        "scan unroll=2": f"{args.qlog}/bench_unroll2.log",
+        "scan unroll=4": f"{args.qlog}/bench_unroll4.log",
     }
     for name, path in bench_logs.items():
         rows = _bench_lines(path)

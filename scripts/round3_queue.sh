@@ -100,6 +100,15 @@ run continue_cos quality_r2/continue_summary_cos.json \
   python scripts/continue_latent.py --root ./quality_r2 --epochs 300 \
     --lr_schedule cosine --tag _cos --ckpt ./model_para/trained_para_cont.msgpack
 
+# --- 8b. DDPM scan-unroll A/B (pure scheduling knob, bit-identical output)
+run bench_unroll2 "$LOG/bench_unroll2.done" \
+  env DIFFUSION_TPU_SCAN_UNROLL=2 BENCH_REPS=3 python bench.py
+grep -q '"metric"' "$LOG/bench_unroll2.log" 2>/dev/null && touch "$LOG/bench_unroll2.done"
+
+run bench_unroll4 "$LOG/bench_unroll4.done" \
+  env DIFFUSION_TPU_SCAN_UNROLL=4 BENCH_REPS=3 python bench.py
+grep -q '"metric"' "$LOG/bench_unroll4.log" 2>/dev/null && touch "$LOG/bench_unroll4.done"
+
 # --- 9. fresh headline bench (default config) for BASELINE.md round-3 table
 run bench_headline "$LOG/bench_headline.done" \
   env BENCH_REPS=5 python bench.py

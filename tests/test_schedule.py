@@ -140,3 +140,22 @@ def test_cfg_batched_forward():
     )
     assert out.shape == x.shape
     assert all(b == 6 for b in batch_sizes)  # 2B batched CFG
+
+
+def test_sample_loop_unroll_bit_identical():
+    """unroll is a pure lax.scan scheduling knob: any factor (including
+    ones that do not divide T) must reproduce the default bit-for-bit."""
+    T = 10
+    s = DiffusionSchedule.create(num_timesteps=T)
+
+    def eps_fn(x, t, y, cv, cm):
+        ab = s.alpha_bar(t).reshape((-1,) + (1,) * (x.ndim - 1))
+        return x * jnp.sqrt(1.0 - ab) / (ab * 4.0 + (1.0 - ab))
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 4, 2))
+    base = sample_loop(s, eps_fn, x, jax.random.PRNGKey(1),
+                       y=jnp.array([1, 2]), guidance_scale=3.0)
+    for u in (2, 3, 4):
+        out = sample_loop(s, eps_fn, x, jax.random.PRNGKey(1),
+                          y=jnp.array([1, 2]), guidance_scale=3.0, unroll=u)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
