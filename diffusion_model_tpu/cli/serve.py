@@ -12,10 +12,22 @@ Endpoints:
         "num_inference_steps": int, "cache_interval": int (ddpm_cached encoder cadence, default 2),
         "timestep_spacing": "linear" | "karras" (ddim/dpmpp step grid),
         "seed": int}
-     response: {"images": [<base64 PNG>, ...], "elapsed_s": ...}
+     response: {"images": [<base64 PNG>, ...], "elapsed_s": ...,
+                "batched_requests": k (with --batch_window_ms > 0)}
 
 The first request per (batch, sampler, guidance) combination compiles; the
 server optionally pre-warms the default shape at startup (--warm).
+
+Dynamic batching (``--batch_window_ms``): with N concurrent clients the
+naive path runs N padded max_batch programs back-to-back — N scans for
+work that fits in one. The batcher holds a request for at most the window,
+coalesces every queued request with the SAME compiled-program signature
+(guidance, sampler, steps, cache_interval, spacing) into one launch up to
+max_batch rows (classes may differ — class_counts composes), and fans the
+images back out. Per-request RNG note: the batch draws its noise from the
+group's folded seeds, so a request's images depend on what it was batched
+with (standard dynamic-batching semantics); run solo for exact seed
+reproducibility.
 """
 from __future__ import annotations
 
@@ -23,7 +35,9 @@ import argparse
 import base64
 import io
 import json
+import threading
 import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -54,10 +68,107 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["ddpm", "ddim", "dpmpp", "ddim_parallel",
                              "ddpm_cached"],
                     default="ddpm")
+    ap.add_argument("--batch_window_ms", type=float, default=0.0,
+                    help="dynamic batching: hold a request up to this long "
+                         "and coalesce same-signature requests into one "
+                         "device launch (0 = off)")
     return ap
 
 
-def make_handler(pipeline, image_hw, max_batch, default_sampler):
+class _Pending:
+    """One enqueued /generate request awaiting a batched launch."""
+    __slots__ = ("sig", "class_id", "count", "vals", "mask", "seed", "future")
+
+    def __init__(self, sig, class_id, count, vals, mask, seed):
+        self.sig = sig
+        self.class_id = class_id
+        self.count = count
+        self.vals = vals
+        self.mask = mask
+        self.seed = seed
+        self.future = Future()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent requests into one device launch.
+
+    One worker thread owns all device launches (one chip — concurrency
+    only adds dispatch contention); HTTP threads block on a Future. A
+    request waits at most ``window_s`` for companions; only requests with
+    an identical program signature batch together (a different guidance or
+    sampler is a different compiled program).
+    """
+
+    def __init__(self, pipeline, image_hw, max_batch, window_s):
+        self.pipeline = pipeline
+        self.image_hw = image_hw
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self._items = []
+        self._cv = threading.Condition()
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, sig, class_id, count, cond, seed) -> Future:
+        from ..data import geometry as G
+
+        # normalize the request's cond to concrete (count, 12) arrays NOW
+        # (raises a client-attributable ValueError in the HTTP thread, and
+        # makes requests concatenable regardless of input form)
+        vals, mask = G.conditions_from_dicts(
+            cond, None, [class_id] * count)
+        p = _Pending(sig, class_id, count, vals, mask, seed)
+        with self._cv:
+            self._items.append(p)
+            self._cv.notify()
+        return p.future
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._items:
+                    self._cv.wait()
+                head_sig = self._items[0].sig
+            time.sleep(self.window_s)  # let contemporaries arrive
+            with self._cv:
+                batch, rest, room = [], [], self.max_batch
+                for p in self._items:
+                    if p.sig == head_sig and p.count <= room:
+                        batch.append(p)
+                        room -= p.count
+                    else:
+                        rest.append(p)
+                self._items = rest
+            if batch:
+                self._run(head_sig, batch)
+
+    def _run(self, sig, batch):
+        guidance, sampler, steps, cache_interval, spacing = sig
+        class_counts = [(p.class_id, p.count) for p in batch]
+        vals = np.concatenate([p.vals for p in batch], axis=0)
+        mask = np.concatenate([p.mask for p in batch], axis=0)
+        key = jax.random.PRNGKey(batch[0].seed)
+        for p in batch[1:]:
+            key = jax.random.fold_in(key, p.seed)
+        try:
+            images = self.pipeline.sample_latent_cond(
+                class_counts, cond=vals, cond_mask=mask,
+                guidance_scale=guidance, key=key, image_hw=self.image_hw,
+                method=sampler, num_inference_steps=steps,
+                cache_interval=cache_interval, timestep_spacing=spacing,
+                batch_size=self.max_batch, remainder="pad",
+            )
+            ofs = 0
+            for p in batch:
+                p.future.set_result(
+                    (images[ofs:ofs + p.count], len(batch)))
+                ofs += p.count
+        except Exception as e:  # fan the failure out to every waiter
+            for p in batch:
+                p.future.set_exception(e)
+
+
+def make_handler(pipeline, image_hw, max_batch, default_sampler,
+                 batcher=None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
@@ -109,31 +220,43 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler):
                     raise ValueError(
                         "timestep_spacing must be 'linear' or 'karras'")
                 tic = time.time()
-                # Static-shape bucketing: every request runs the warmed
-                # max_batch program (short requests padded, padding
-                # discarded) — one compilation serves all counts instead
-                # of one multi-minute compile per distinct count.
-                images = pipeline.sample_latent_cond(
-                    (class_id, count),
-                    cond=cond,
-                    guidance_scale=float(req.get("guidance_scale", 3.0)),
-                    key=jax.random.PRNGKey(int(req.get("seed", 0))),
-                    image_hw=image_hw,
-                    method=sampler,
-                    num_inference_steps=int(
-                        req.get("num_inference_steps", 50)),
-                    cache_interval=int(req.get("cache_interval", 2)),
-                    timestep_spacing=spacing,
-                    batch_size=max_batch,
-                    remainder="pad",
-                )
+                batched_with = None
+                if batcher is not None:
+                    sig = (float(req.get("guidance_scale", 3.0)), sampler,
+                           int(req.get("num_inference_steps", 50)),
+                           int(req.get("cache_interval", 2)), spacing)
+                    fut = batcher.submit(sig, class_id, count, cond,
+                                         int(req.get("seed", 0)))
+                    images, batched_with = fut.result()
+                else:
+                    # Static-shape bucketing: every request runs the warmed
+                    # max_batch program (short requests padded, padding
+                    # discarded) — one compilation serves all counts instead
+                    # of one multi-minute compile per distinct count.
+                    images = pipeline.sample_latent_cond(
+                        (class_id, count),
+                        cond=cond,
+                        guidance_scale=float(req.get("guidance_scale", 3.0)),
+                        key=jax.random.PRNGKey(int(req.get("seed", 0))),
+                        image_hw=image_hw,
+                        method=sampler,
+                        num_inference_steps=int(
+                            req.get("num_inference_steps", 50)),
+                        cache_interval=int(req.get("cache_interval", 2)),
+                        timestep_spacing=spacing,
+                        batch_size=max_batch,
+                        remainder="pad",
+                    )
                 out = []
                 for img in images:
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     out.append(base64.b64encode(buf.getvalue()).decode())
-                self._send(200, {"images": out,
-                                 "elapsed_s": round(time.time() - tic, 3)})
+                payload = {"images": out,
+                           "elapsed_s": round(time.time() - tic, 3)}
+                if batched_with is not None:
+                    payload["batched_requests"] = batched_with
+                self._send(200, payload)
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # pragma: no cover
@@ -155,10 +278,14 @@ def main(argv=None) -> None:
             method=args.default_sampler, to_pil=False,
             num_inference_steps=50, cache_interval=2,
         )
+    batcher = None
+    if args.batch_window_ms > 0:
+        batcher = DynamicBatcher(pipeline, image_hw, args.max_batch,
+                                 args.batch_window_ms / 1000.0)
     server = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(pipeline, image_hw, args.max_batch,
-                     args.default_sampler),
+                     args.default_sampler, batcher=batcher),
     )
     print(f"serving on http://{args.host}:{args.port} "
           f"(backend={jax.default_backend()})")

@@ -124,3 +124,89 @@ def test_serve_parser():
     a = build_parser().parse_args(["--unet_ckpt", "u", "--vae_ckpt", "v",
                                    "--port", "9000", "--warm"])
     assert a.port == 9000 and a.warm
+
+
+@pytest.fixture(scope="module")
+def batch_server():
+    """Same tiny model, dynamic batching on (500 ms window)."""
+    from diffusion_model_tpu.cli.serve import DynamicBatcher
+
+    rng = jax.random.PRNGKey(1)
+    vae = VAE(VAEConfig(base_channels=8))
+    unet = CondUNet(UNetConfig(in_ch=4, time_dim=32, num_classes=3,
+                               with_geom_head=True, base_ch=8,
+                               remove_deep_conv=True))
+    vae_params = vae.init({"params": rng, "sample": rng},
+                          jnp.zeros((1, 32, 32, 3)))["params"]
+    z = jnp.zeros((1, 4, 4, 4))
+    unet_params = unet.init(
+        rng, z, jnp.ones((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 12)), jnp.zeros((1, 12)))["params"]
+    pipe = DiffusionPipeline(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        schedule=DiffusionSchedule.create(4), use_data_parallel=False,
+    )
+    batcher = DynamicBatcher(pipe, (32, 32), 4, 0.5)
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(pipe, (32, 32), 4, "ddpm", batcher=batcher))
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_dynamic_batching_coalesces_concurrent_requests(batch_server):
+    """Two same-signature requests of different classes fired together
+    must run as ONE device launch (batched_requests == 2) and each get
+    its own image count back."""
+    results = {}
+
+    def fire(name, payload):
+        results[name] = _post(batch_server, payload)
+
+    t1 = threading.Thread(target=fire, args=("a", {
+        "class_id": 1, "count": 2, "seed": 1}))
+    t2 = threading.Thread(target=fire, args=("b", {
+        "class_id": 2, "count": 2, "seed": 2,
+        "cond": {"cx": 0.5, "cy": 0.5, "cr": 0.2}}))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    for name, want_count in (("a", 2), ("b", 2)):
+        code, body = results[name]
+        assert code == 200, body
+        assert len(body["images"]) == want_count
+        assert body["batched_requests"] == 2, (name, body["batched_requests"])
+
+
+def test_dynamic_batching_solo_and_errors(batch_server):
+    """A lone request still works (batched_requests == 1); client errors
+    surface as 400 from the HTTP thread, not a wedged future."""
+    code, body = _post(batch_server, {"class_id": 3, "count": 1})
+    assert code == 200 and body["batched_requests"] == 1
+    code, body = _post(batch_server, {"class_id": 9})
+    assert code == 400
+    # bad cond shape is caught at submit time in the HTTP thread
+    code, body = _post(batch_server, {"class_id": 1, "count": 1,
+                                      "cond": [[1.0, 2.0]]})
+    assert code == 400
+
+
+def test_dynamic_batching_different_signatures_do_not_merge(batch_server):
+    """Different guidance scales are different compiled programs; firing
+    them together must NOT put them in one launch."""
+    results = {}
+
+    def fire(name, payload):
+        results[name] = _post(batch_server, payload)
+
+    t1 = threading.Thread(target=fire, args=("g2", {
+        "class_id": 1, "count": 1, "guidance_scale": 2.0}))
+    t2 = threading.Thread(target=fire, args=("g3", {
+        "class_id": 1, "count": 1, "guidance_scale": 3.0}))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    for name in ("g2", "g3"):
+        code, body = results[name]
+        assert code == 200, body
+        assert body["batched_requests"] == 1, (name, body)
