@@ -26,6 +26,7 @@ VAE decode).
 Env overrides: BENCH_BATCH (default 64), BENCH_REPS (default 5),
 BENCH_SWEEP=1 adds a batch sweep [32, 64, 128, 256] to the extras,
 BENCH_DDIM=1 adds the 50-step DDIM fast-path measurement to the extras,
+BENCH_DISTILL=1 the distilled serving mode (DDIM-8, trailing grid, no CFG),
 BENCH_DPMPP=1 the 20-step DPM-Solver++(2M) one (the headline stays the
 reference-workload T=1000 DDPM number).
 """
@@ -156,15 +157,17 @@ def build_pipeline():
 
 
 def time_batch(pipe, batch: int, reps: int, key, method: str = "ddpm",
-               steps: int = 0) -> dict:
+               steps: int = 0, guidance: float = 3.0,
+               spacing: str = "linear") -> dict:
     def run(k, count, chunk):
         # quantize=True: uint8 conversion on device — the production save
         # path's output format (reverse_to_img parity) and 4× less
         # device→host transfer than f32 images
         return pipe.sample_latent_cond(
-            (1, count), guidance_scale=3.0, key=k, to_pil=False,
+            (1, count), guidance_scale=guidance, key=k, to_pil=False,
             image_hw=(224, 224), quantize=True, method=method,
             num_inference_steps=steps, batch_size=chunk,
+            timestep_spacing=spacing,
         )
 
     t0 = time.time()
@@ -264,6 +267,15 @@ def main():
         extras["dpmpp20"] = time_batch(pipe, batch, reps,
                                        jax.random.fold_in(key, 998),
                                        method="dpmpp", steps=20)
+    if os.environ.get("BENCH_DISTILL", "0") == "1":
+        # the distilled-checkpoint serving mode: 8 DDIM steps on the
+        # trailing grid with guidance folded into the weights (NO CFG —
+        # each step is a 1B forward). Throughput is weight-independent,
+        # so this prices the mode before a distillation run finishes;
+        # quality comes from quality_r2/distill8_cert.json.
+        extras["ddim8_trailing_nocfg"] = time_batch(
+            pipe, batch, reps, jax.random.fold_in(key, 997),
+            method="ddim", steps=8, guidance=0.0, spacing="trailing")
     if os.environ.get("BENCH_CACHED", "0") == "1":
         # full-T DDPM with encoder reuse ("Faster Diffusion"); steps slot
         # carries the cache interval k

@@ -14,4 +14,6 @@
       parity: unconditional pixel-space sampling)
   python -m diffusion_model_tpu.cli.serve              (no reference
       counterpart: warm-pipeline HTTP inference server)
+  python -m diffusion_model_tpu.cli.distill            (no reference
+      counterpart: progressive guided distillation to few-step samplers)
 """

@@ -1,0 +1,130 @@
+"""CLI: progressive guided distillation of a trained stage-2 checkpoint.
+
+Beyond-reference entry (the reference samples only with its 1000-step CFG
+DDPM loop, /root/reference/diff.py:326-344): halve the sampler's step
+count stage by stage while folding the CFG guidance weight into the
+student's weights, down to single-digit model evaluations per image.
+
+Sample the result with:
+  generate-cond --unet_ckpt distilled_S8.msgpack --sampler ddim \
+    --num_inference_steps 8 --timestep_spacing trailing \
+    --prediction_type v --guidance_scale 0
+
+(trailing grid + v-prediction + guidance OFF — all three are properties
+the distillation baked in; docs/SAMPLERS.md "Distilled checkpoints".)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..data import LabelDataset
+from ..data.synthetic import generate_all_classes
+from ..diffusion import DiffusionSchedule
+from ..models import VAE, VAEConfig, CondUNet, UNetConfig
+from ..train import progressive_distill
+from ..train.checkpoints import load_params, save_params
+from .train_vae import parse_items
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        description="Progressive guided distillation (fewer-step sampler)")
+    ap.add_argument("--unet_ckpt", type=str, required=True,
+                    help="trained stage-2 teacher (trained_para*.msgpack)")
+    ap.add_argument("--vae_ckpt", type=str, required=True)
+    ap.add_argument("--teacher_prediction_type", choices=["epsilon", "v"],
+                    default="epsilon")
+    ap.add_argument("--guidance", type=float, default=3.0,
+                    help="CFG weight folded into the first student")
+    ap.add_argument("--start_steps", type=int, default=256)
+    ap.add_argument("--min_steps", type=int, default=8)
+    ap.add_argument("--steps_per_stage", type=int, default=2000)
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--num_timesteps", type=int, default=1000)
+    ap.add_argument("--z_channels", type=int, default=4)
+    ap.add_argument("--geom_dim", type=int, default=12)
+    ap.add_argument("--base_ch", type=int, default=64)
+    ap.add_argument("--time_dim", type=int, default=256)
+    ap.add_argument("--vae_base_channels", type=int, default=64)
+    ap.add_argument("--image_size", type=int, nargs=2, default=(224, 224))
+    ap.add_argument("--items", action="append", default=None,
+                    help="train data: csv,image_dir,class_id (repeatable)")
+    ap.add_argument("--synthetic_root", type=str, default="./data")
+    ap.add_argument("--synthetic_count", type=int, default=1024)
+    ap.add_argument("--out_dir", type=str, default="./model_para")
+    ap.add_argument("--no_bf16", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    return ap
+
+
+def main(argv=None) -> None:
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+    dt = jnp.float32 if args.no_bf16 else jnp.bfloat16
+
+    vae = VAE(VAEConfig(base_channels=args.vae_base_channels, dtype=dt))
+    unet = CondUNet(UNetConfig(
+        in_ch=args.z_channels, time_dim=args.time_dim, num_classes=3,
+        geom_dim=args.geom_dim, with_geom_head=True, base_ch=args.base_ch,
+        dtype=dt,
+    ))
+    rng = jax.random.PRNGKey(args.seed)
+    z = jnp.zeros((1, args.image_size[0] // 8, args.image_size[1] // 8,
+                   args.z_channels))
+    t0 = jnp.ones((1,), jnp.int32)
+    y0 = jnp.zeros((1,), jnp.int32)
+    g0 = jnp.zeros((1, args.geom_dim))
+    teacher_params = load_params(
+        args.unet_ckpt, unet.init(rng, z, t0, y0, g0, g0)["params"])
+    vae_params = load_params(
+        args.vae_ckpt,
+        vae.init({"params": rng, "sample": rng},
+                 jnp.zeros((1,) + tuple(args.image_size) + (3,)))["params"])
+
+    items = parse_items(args.items)
+    if not items:
+        dirs = generate_all_classes(
+            args.synthetic_root, args.synthetic_count,
+            image_size=tuple(args.image_size), seed=args.seed)
+        items = [(f"{d}/{d.rsplit('/', 1)[-1]}.csv", d, cls)
+                 for cls, d in dirs.items()]
+    ds = LabelDataset(items, image_size=tuple(args.image_size))
+    data_np = ds.materialize()
+    data = {k: jax.device_put(v) for k, v in data_np.items()}
+    print(f"distilling on {len(ds)} images; "
+          f"stages {args.start_steps} -> {args.min_steps} "
+          f"({args.steps_per_stage} steps each, guidance {args.guidance})")
+
+    schedule = DiffusionSchedule.create(args.num_timesteps)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def on_stage(S, params, log):
+        path = os.path.join(args.out_dir, f"distilled_S{S}.msgpack")
+        save_params(path, params)
+        tail = [round(x, 5) for x in log["losses"][-3:]]
+        print(f"[stage S={S}] loss tail {tail} -> {path}", flush=True)
+
+    final, logs = progressive_distill(
+        unet, teacher_params, vae, vae_params, schedule, data,
+        start_steps=args.start_steps, min_steps=args.min_steps,
+        steps_per_stage=args.steps_per_stage, batch_size=args.batch_size,
+        lr=args.lr, guidance_w=args.guidance,
+        teacher_prediction_type=args.teacher_prediction_type,
+        seed=args.seed, on_stage_done=on_stage,
+    )
+    path = os.path.join(args.out_dir, "distilled_final.msgpack")
+    save_params(path, final)
+    print(f"[OK] distilled checkpoint: {path} "
+          f"(sample: --sampler ddim --num_inference_steps "
+          f"{args.min_steps} --timestep_spacing trailing "
+          f"--prediction_type v --guidance_scale 0)")
+
+
+if __name__ == "__main__":
+    main()

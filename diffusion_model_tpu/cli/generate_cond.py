@@ -81,10 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "dpmpp is 2nd-order DPM-Solver++(2M)")
     ap.add_argument("--num_inference_steps", type=int, default=50,
                     help="model evaluations when --sampler ddim")
-    ap.add_argument("--timestep_spacing", choices=["linear", "karras"],
+    ap.add_argument("--timestep_spacing",
+                    choices=["linear", "trailing", "karras"],
                     default="linear",
-                    help="fast-sampler step grid: uniform stride or EDM "
-                         "rho=7 sigma spacing (ddim/dpmpp only)")
+                    help="fast-sampler step grid: uniform-from-t=1, "
+                         "uniform-from-t=T (REQUIRED for distilled "
+                         "checkpoints), or EDM rho=7 sigma spacing "
+                         "(ddim/dpmpp only)")
     ap.add_argument("--eta", type=float, default=0.0,
                     help="DDIM stochasticity (0 = deterministic)")
     ap.add_argument("--cache_interval", type=int, default=2,

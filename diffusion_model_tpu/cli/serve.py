@@ -10,7 +10,7 @@ Endpoints:
         "guidance_scale": float = 3.0,
         "sampler": "ddpm" | "ddim" | "dpmpp" | "ddim_parallel" | "ddpm_cached",
         "num_inference_steps": int, "cache_interval": int (ddpm_cached encoder cadence, default 2),
-        "timestep_spacing": "linear" | "karras" (ddim/dpmpp step grid),
+        "timestep_spacing": "linear" | "trailing" | "karras" (ddim/dpmpp grid),
         "seed": int}
      response: {"images": [<base64 PNG>, ...], "elapsed_s": ...,
                 "batched_requests": k (with --batch_window_ms > 0)}
@@ -214,11 +214,13 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler,
                         "sampler must be 'ddpm', 'ddim', 'dpmpp', "
                         "'ddim_parallel' or 'ddpm_cached'")
                 spacing = str(req.get("timestep_spacing", "linear"))
-                if spacing not in ("linear", "karras"):
+                if spacing not in ("linear", "trailing",
+                                   "karras"):
                     # reject before the jit trace so the client gets a 400,
                     # not a mid-compile server error
                     raise ValueError(
-                        "timestep_spacing must be 'linear' or 'karras'")
+                        "timestep_spacing must be 'linear', "
+                        "'trailing' or 'karras'")
                 tic = time.time()
                 batched_with = None
                 if batcher is not None:

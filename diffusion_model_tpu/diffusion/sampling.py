@@ -354,14 +354,34 @@ def _karras_timesteps_np(schedule: DiffusionSchedule,
     return _np.unique(t)[::-1].copy().astype(_np.int32)  # descending
 
 
+def _trailing_timesteps_np(num_timesteps: int, num_inference_steps: int):
+    """``round(linspace(T, 0, S+1))[:-1]`` — the "trailing" grid: starts at
+    exactly t=T and spaces by jumps-to-zero. This is the grid progressive
+    distillation trains on (train/distill.py builds its teacher grid as
+    this grid's midpoint refinement), so distilled students MUST be
+    sampled with it; also a sound general-purpose choice."""
+    import numpy as _np
+
+    T = num_timesteps
+    S = min(num_inference_steps, T)
+    ts = _np.round(_np.linspace(float(T), 0.0, S + 1))[:-1]
+    ts = _np.unique(_np.clip(ts, 1, T))[::-1]
+    return ts.copy().astype(_np.int32)
+
+
 def sampler_timesteps_np(schedule: DiffusionSchedule,
                          num_inference_steps: int,
                          timestep_spacing: str = "linear"):
     """Descending 1-indexed timestep grid for the fast samplers:
-    ``"linear"`` (uniform stride, the DDIM-paper default) or ``"karras"``
-    (ρ=7 sigma spacing, denser near t=1)."""
+    ``"linear"`` (uniform stride ending at t=1, the DDIM-paper default),
+    ``"trailing"`` (uniform stride starting at exactly t=T — REQUIRED for
+    progressively-distilled checkpoints, which are trained on this grid),
+    or ``"karras"`` (ρ=7 sigma spacing, denser near t=1)."""
     if timestep_spacing == "karras":
         return _karras_timesteps_np(schedule, num_inference_steps)
+    if timestep_spacing == "trailing":
+        return _trailing_timesteps_np(schedule.num_timesteps,
+                                      num_inference_steps)
     if timestep_spacing == "linear":
         return _ddim_timesteps_np(schedule.num_timesteps,
                                   num_inference_steps)

@@ -15,6 +15,12 @@ from .train_vae import (
     make_vae_train_step,
     train_vae,
 )
+from .distill import (
+    distill_grid,
+    implied_x0_target,
+    make_distill_step,
+    progressive_distill,
+)
 from .train_latent import (
     build_models,
     create_latent_state,
@@ -30,4 +36,6 @@ __all__ = [
     "create_vae_state", "make_vae_eval_step", "make_vae_train_step",
     "train_vae", "build_models", "create_latent_state",
     "make_latent_eval_step", "make_latent_train_step", "train_latent_cond",
+    "distill_grid", "implied_x0_target", "make_distill_step",
+    "progressive_distill",
 ]

@@ -38,11 +38,17 @@ def main():
                     help="for ddpm_cached, --steps is the encoder cache "
                          "interval k (full T=1000 retained)")
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--spacing", choices=("linear", "karras"),
+    ap.add_argument("--spacing",
+                    choices=("linear", "trailing", "karras"),
                     default="linear", help="ddim/dpmpp step grid")
     ap.add_argument("--eta", type=float, default=0.0)
     ap.add_argument("--gen_count", type=int, default=200)
     ap.add_argument("--guidance", type=float, default=3.0)
+    ap.add_argument("--prediction_type", choices=("epsilon", "v"),
+                    default="epsilon",
+                    help="v for distilled / v-trained checkpoints")
+    ap.add_argument("--out_name", default=None,
+                    help="override the <method><steps>_cert.json filename")
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--ddpm_summary", default="./continue_summary.json",
                     help="existing summary holding this checkpoint's "
@@ -71,6 +77,7 @@ def main():
         schedule=DiffusionSchedule.create(1000),
         latent_hw=(hw[0] // 8, hw[1] // 8), image_hw=hw,
     )
+    pipe.prediction_type = args.prediction_type
     sampler = CsvConditionSampler(pipe, class_id=1, image_hw=hw)
 
     log = {"config": vars(args), "vae_ckpt": vae_ckpt}
@@ -119,7 +126,8 @@ def main():
             log["ddpm_metrics"] = json.load(f).get("metrics")
 
     _sfx = "" if args.spacing == "linear" else f"_{args.spacing}"
-    with open(f"{args.method}{args.steps}{_sfx}_cert.json", "w") as f:
+    _name = args.out_name or f"{args.method}{args.steps}{_sfx}_cert.json"
+    with open(_name, "w") as f:
         json.dump(log, f, indent=2)
     print(json.dumps(log, indent=2), flush=True)
 

@@ -1,0 +1,135 @@
+"""Progressive guided distillation: grid algebra, exact-teacher target
+recovery, trailing-grid consistency, end-to-end halving on a tiny model."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_model_tpu.diffusion import DiffusionSchedule
+from diffusion_model_tpu.diffusion.sampling import (
+    sample_loop_ddim,
+    sampler_timesteps_np,
+)
+from diffusion_model_tpu.models import CondUNet, UNetConfig
+from diffusion_model_tpu.train import (
+    distill_grid,
+    implied_x0_target,
+    make_distill_step,
+    progressive_distill,
+)
+
+
+def test_distill_grid_properties():
+    g = distill_grid(1000, 8)
+    assert g.shape == (17,)
+    assert g[0] == 1000 and g[-1] == 0
+    assert (np.diff(g) < 0).all()
+    # student grid = trailing sampler grid (the student must be SAMPLED on
+    # the grid it was trained on)
+    sched = DiffusionSchedule.create(1000)
+    trailing = sampler_timesteps_np(sched, 8, "trailing")
+    np.testing.assert_array_equal(g[0::2][:8], trailing)
+    with pytest.raises(ValueError):
+        distill_grid(10, 8)  # 2S > T
+
+
+def test_implied_target_terminal_step_is_x_n():
+    """At the terminal jump (s_n = 0, a_n = 1) the implied x0 IS x_n."""
+    x_t = jnp.ones((2, 4, 4, 1)) * 3.0
+    x_n = jnp.ones((2, 4, 4, 1)) * 0.5
+    out = implied_x0_target(x_t, x_n, jnp.asarray(0.9), jnp.asarray(0.436),
+                            jnp.asarray(1.0), jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
+
+def _tiny_student(key, T_dim=32):
+    unet = CondUNet(UNetConfig(in_ch=2, time_dim=T_dim, num_classes=3,
+                               geom_dim=12, with_geom_head=True, base_ch=8,
+                               remove_deep_conv=True))
+    params = unet.init(key, jnp.zeros((2, 8, 8, 2)),
+                       jnp.ones((2,), jnp.int32), jnp.zeros((2,), jnp.int32),
+                       jnp.zeros((2, 12)), jnp.zeros((2, 12)))["params"]
+    return unet, params
+
+
+def test_exact_teacher_gives_x0_as_target():
+    """With an oracle teacher (exact eps for the known z0 batch) the
+    implied one-step target must equal the true data x0 — the core
+    algebraic identity of progressive distillation."""
+    T = 16
+    sched = DiffusionSchedule.create(T)
+    key = jax.random.PRNGKey(0)
+    unet, params = _tiny_student(key)
+
+    n = 8
+    z0 = jax.random.normal(jax.random.fold_in(key, 1), (n, 8, 8, 2))
+    data = {
+        "z0": z0,
+        "y": jnp.ones((n,), jnp.int32),
+        "vals": jnp.zeros((n, 12)),
+        "mask": jnp.zeros((n, 12)),
+    }
+
+    def oracle_apply(tvars, x, t, y, vals, mask):
+        # exact eps* for x drawn from q(x_t | z0): both CFG halves see the
+        # duplicated z0, so the guided mix equals the exact eps too
+        del tvars, vals, mask
+        B = x.shape[0]
+        z = jnp.concatenate([z0_batch, z0_batch], axis=0)[:B]
+        ab = sched.alpha_bar(t).reshape(-1, 1, 1, 1)
+        return ((x - jnp.sqrt(ab) * z) / jnp.sqrt(1.0 - ab), None)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    z0_batch = jnp.take(z0, idx, axis=0)
+    step = make_distill_step(unet, oracle_apply, None, sched,
+                             num_student_steps=4, guidance_w=3.0,
+                             debug_targets=True)
+    import optax
+    from flax.training import train_state
+    state = train_state.TrainState.create(
+        apply_fn=None, params=params, tx=optax.adam(1e-4))
+    _, aux = step(state, params, None, data, idx, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(aux["x0_tgt"]),
+                               np.asarray(aux["z0"]), atol=5e-4)
+
+
+@pytest.mark.heavy
+def test_progressive_distill_tiny_end_to_end():
+    """Full halving run (4 → 2) on a tiny v-teacher; the distilled student
+    must sample finitely on its trailing grid with guidance baked in."""
+    T = 16
+    sched = DiffusionSchedule.create(T)
+    key = jax.random.PRNGKey(0)
+    unet, params = _tiny_student(key)
+
+    n = 16
+    z0 = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (n, 8, 8, 2))
+    data = {
+        "z0": z0,
+        "y": jnp.asarray(np.resize([1, 2, 3], n), jnp.int32),
+        "vals": jnp.zeros((n, 12)),
+        "mask": jnp.zeros((n, 12)),
+    }
+    final, logs = progressive_distill(
+        unet, params, None, None, sched, data,
+        start_steps=4, min_steps=2, steps_per_stage=6, batch_size=8,
+        lr=1e-4, guidance_w=2.0, teacher_prediction_type="epsilon",
+        seed=0,
+    )
+    assert [l["steps"] for l in logs] == [4, 2]
+    assert all(np.isfinite(l["losses"]).all() for l in logs)
+
+    # sample the distilled student: v-model, trailing grid, guidance OFF
+    def eps_fn(x, t, y, cv, cm):
+        out = unet.apply({"params": final}, x, t, y, cv, cm)
+        v = out[0] if isinstance(out, tuple) else out
+        from diffusion_model_tpu.diffusion.sampling import v_to_eps
+        return v_to_eps(sched, x, t, v)
+
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 2))
+    out = sample_loop_ddim(sched, eps_fn, x, jax.random.PRNGKey(3),
+                           num_inference_steps=2,
+                           timestep_spacing="trailing",
+                           y=jnp.asarray([1, 2], jnp.int32),
+                           guidance_scale=0.0)
+    assert np.isfinite(np.asarray(out)).all()
