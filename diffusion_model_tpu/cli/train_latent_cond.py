@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "--prediction_type v at generation too")
     ap.add_argument("--schedule", choices=["linear", "cosine"],
                     default="linear", help="noise schedule")
+    ap.add_argument("--class_balanced", action="store_true",
+                    help="equal per-class share in every batch (protects "
+                         "thin classes from the global objective)")
     ap.add_argument("--ema_decay", type=float, default=0.0,
                     help="EMA of U-Net weights (e.g. 0.999); also writes "
                          "trained_para_ema.msgpack")
@@ -76,6 +79,7 @@ def main(argv=None) -> None:
         distributed=args.distributed,
         ema_decay=args.ema_decay,
         prediction_type=args.prediction_type, schedule_kind=args.schedule,
+        class_balanced=args.class_balanced,
         data=DataConfig(
             train_items=parse_items(args.items),
             val_items=parse_items(args.val_items),

@@ -74,6 +74,10 @@ class LatentTrainConfig:
     prediction_type: str = "epsilon"
     # Noise schedule: "linear" (reference) or "cosine" (improved DDPM).
     schedule_kind: str = "linear"
+    # Class-balanced batches (device-resident path): every batch carries an
+    # equal share of each class — prevents thin classes (line) being traded
+    # away by the global objective (round-2 continuation regression).
+    class_balanced: bool = False
     # EMA of the U-Net weights (0 = off). When on, the rolling/final saves
     # also write trained_para_ema.msgpack — usually the better sampling
     # checkpoint (standard diffusion practice the reference lacks).

@@ -73,6 +73,52 @@ def epoch_index_matrix(
     ).astype(np.int32)
 
 
+def epoch_index_matrix_stratified(
+    labels: np.ndarray,
+    batch_size: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Class-balanced epoch batching: every batch carries (as close as the
+    divisibility allows) the same number of samples of each class.
+
+    Why: with global shuffling a thin class can be under-represented in
+    the batches that dominate an epoch's gradient, and the global
+    objective trades it away — exactly the line-class regression seen in
+    the round-2 continuation (BASELINE.md). Stratifying fixes every
+    batch's class mix instead of leaving it to sampling noise.
+
+    Mechanics: per-class index pools are shuffled independently, each is
+    wrap-padded to the same number of batches, then interleaved so each
+    (S, B) row takes ``B // n_classes`` (±1) from every pool and is
+    shuffled within the row (so class is not correlated with batch
+    position). Epoch length matches the plain path: S = ceil(n / B).
+    """
+    labels = np.asarray(labels)
+    n = labels.shape[0]
+    classes = np.unique(labels)
+    steps = -(-n // batch_size)  # ceil: same epoch length as plain path
+    # per-batch quota per class: split B as evenly as possible
+    base = batch_size // len(classes)
+    extra = batch_size - base * len(classes)
+    quotas = {c: base + (1 if i < extra else 0)
+              for i, c in enumerate(classes)}
+    rows = []
+    pools = {}
+    for c in classes:
+        idx = np.flatnonzero(labels == c)
+        rng.shuffle(idx)
+        need = quotas[c] * steps
+        reps = -(-need // max(1, len(idx)))
+        pools[c] = np.tile(idx, reps)[:need]
+    for s in range(steps):
+        row = np.concatenate([
+            pools[c][s * quotas[c]:(s + 1) * quotas[c]] for c in classes
+        ])
+        rng.shuffle(row)
+        rows.append(row)
+    return np.stack(rows).astype(np.int32)
+
+
 def put_index_matrix(mat: np.ndarray, mesh) -> jax.Array:
     """(S, B) index matrix with the batch axis sharded over 'data'."""
     from jax.sharding import NamedSharding, PartitionSpec as P

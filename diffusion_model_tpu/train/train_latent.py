@@ -425,7 +425,8 @@ def train_latent_cond(cfg: LatentTrainConfig,
     train_ds, val_ds = _resolve_datasets(cfg)
 
     from .device_data import (
-        epoch_index_matrix, maybe_device_resident, put_index_matrix,
+        epoch_index_matrix, epoch_index_matrix_stratified,
+        maybe_device_resident, put_index_matrix,
     )
 
     # Residency is decided PER DATASET (a >6GB train set with a small val
@@ -434,6 +435,8 @@ def train_latent_cond(cfg: LatentTrainConfig,
     # their own dataset's residency.
     train_dev = maybe_device_resident(train_ds, mesh)
     val_dev = maybe_device_resident(val_ds, mesh)
+    # host-side class labels for stratified (class-balanced) batching
+    train_labels = np.asarray([it[-1] for it in train_ds.items], np.int32)
     np_rng = np.random.default_rng(cfg.seed)
     put = functools.partial(shard_batch, mesh=mesh)
 
@@ -531,7 +534,12 @@ def train_latent_cond(cfg: LatentTrainConfig,
         # dispatch queue never stalls on a device round-trip
         if train_dev is not None:
             rng, sk = jax.random.split(rng)
-            idx = epoch_index_matrix(len(train_ds), cfg.batch_size, np_rng)
+            if getattr(cfg, "class_balanced", False):
+                idx = epoch_index_matrix_stratified(
+                    train_labels, cfg.batch_size, np_rng)
+            else:
+                idx = epoch_index_matrix(len(train_ds), cfg.batch_size,
+                                         np_rng)
             state, losses = train_epoch_fn(
                 state, vae_params, train_dev, put_index_matrix(idx, mesh), sk
             )

@@ -38,6 +38,8 @@ def main():
                          "continuation (VERDICT r2: fixed-lr continuations "
                          "traded the line class away)")
     ap.add_argument("--lr_final_frac", type=float, default=0.1)
+    ap.add_argument("--class_balanced", action="store_true",
+                    help="equal per-class share in every batch")
     ap.add_argument("--ckpt", default="./model_para/trained_para.msgpack",
                     help="parameter checkpoint to warm-start from")
     ap.add_argument("--tag", default="",
@@ -62,7 +64,8 @@ def main():
     from diffusion_model_tpu.pipeline import CsvConditionSampler, DiffusionPipeline
     from diffusion_model_tpu.train.checkpoints import load_params, save_params
     from diffusion_model_tpu.train.device_data import (
-        epoch_index_matrix, maybe_device_resident, put_index_matrix,
+        epoch_index_matrix, epoch_index_matrix_stratified,
+        maybe_device_resident, put_index_matrix,
     )
     from diffusion_model_tpu.train.train_latent import (
         build_models, create_latent_state, make_latent_epoch_fn,
@@ -108,13 +111,19 @@ def main():
     epoch_fn = make_latent_epoch_fn(unet, vae, schedule,
                                     cfg.cfg_drop_prob, cfg.geom_lambda)
     np_rng = np.random.default_rng(7)
+    labels = np.asarray([it[-1] for it in ds.items], np.int32)
     t0 = time.time()
     log = {"resumed_from": args.ckpt, "extra_epochs": args.epochs,
-           "lr_schedule": args.lr_schedule, "lr": args.lr}
+           "lr_schedule": args.lr_schedule, "lr": args.lr,
+           "class_balanced": args.class_balanced}
     losses_hist = []
     for epoch in range(1, args.epochs + 1):
         rng, sk = jax.random.split(rng)
-        idx = epoch_index_matrix(len(ds), cfg.batch_size, np_rng)
+        if args.class_balanced:
+            idx = epoch_index_matrix_stratified(labels, cfg.batch_size,
+                                                np_rng)
+        else:
+            idx = epoch_index_matrix(len(ds), cfg.batch_size, np_rng)
         state, losses = epoch_fn(state, vae_params, data_dev,
                                  put_index_matrix(idx, mesh), sk)
         if epoch % 10 == 0 or epoch == args.epochs:

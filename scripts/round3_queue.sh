@@ -98,7 +98,8 @@ grep -q '^FINAL' "$LOG/no_fetch_sweep.log" 2>/dev/null && touch "$LOG/no_fetch_s
 # --- 8. line-class continuation with cosine lr decay (VERDICT r2 #5)
 run continue_cos quality_r2/continue_summary_cos.json \
   python scripts/continue_latent.py --root ./quality_r2 --epochs 300 \
-    --lr_schedule cosine --tag _cos --ckpt ./model_para/trained_para_cont.msgpack
+    --lr_schedule cosine --class_balanced --tag _cos \
+    --ckpt ./model_para/trained_para_cont.msgpack
 
 # --- 8b. DDPM scan-unroll A/B (pure scheduling knob, bit-identical output)
 run bench_unroll2 "$LOG/bench_unroll2.done" \

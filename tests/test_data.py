@@ -163,3 +163,29 @@ def test_loader_worker_error_propagates():
     loader = PrefetchLoader(Bad(4), 2, device_put_fn=lambda b: b)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_stratified_index_matrix_balances_classes():
+    """Class-balanced batching: every batch carries an equal (±1) share of
+    each class, epoch length matches the plain path, indices stay valid."""
+    import numpy as np
+    from diffusion_model_tpu.train.device_data import (
+        epoch_index_batches,
+        epoch_index_matrix_stratified,
+    )
+
+    rng = np.random.default_rng(0)
+    # deliberately imbalanced: 50 line, 20 circle, 10 arc
+    labels = np.asarray([1] * 50 + [2] * 20 + [3] * 10)
+    B = 12
+    mat = epoch_index_matrix_stratified(labels, B, rng)
+    plain_steps = len(list(epoch_index_batches(len(labels), B,
+                                               np.random.default_rng(0))))
+    assert mat.shape == (plain_steps, B)
+    assert mat.min() >= 0 and mat.max() < len(labels)
+    for row in mat:
+        counts = np.bincount(labels[row], minlength=4)[1:]
+        assert counts.max() - counts.min() <= 1, counts
+    # the big class must not repeat an index before exhausting its pool
+    line_rows = mat[labels[mat] == 1]
+    assert len(np.unique(line_rows)) == min(50, len(line_rows))
