@@ -20,6 +20,7 @@ from .distill import (
     implied_x0_target,
     make_distill_step,
     progressive_distill,
+    stage_tables,
 )
 from .train_latent import (
     build_models,
@@ -37,5 +38,5 @@ __all__ = [
     "train_vae", "build_models", "create_latent_state",
     "make_latent_eval_step", "make_latent_train_step", "train_latent_cond",
     "distill_grid", "implied_x0_target", "make_distill_step",
-    "progressive_distill",
+    "progressive_distill", "stage_tables",
 ]

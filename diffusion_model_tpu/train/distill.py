@@ -83,12 +83,42 @@ def implied_x0_target(
     return (x_n - r * x_t) / (a_n - r * a_t)
 
 
+def stage_tables(schedule: DiffusionSchedule, num_student_steps: int,
+                 pad_to: Optional[int] = None) -> Tuple[dict, int]:
+    """Per-stage coefficient tables for :func:`make_distill_step`, padded
+    to ``pad_to`` rows so DIFFERENT stages can reuse ONE compiled step
+    (table shapes are part of the jit signature; under the remote AOT
+    compiler each extra compile costs many minutes). The pad rows repeat
+    the last real row and are never sampled (i < n_steps). Returns
+    ``(tables, n_steps)``."""
+    grid = distill_grid(schedule.num_timesteps, num_student_steps)
+    S = num_student_steps
+    ab = _alpha_bar_of(schedule, grid)          # (2S+1,)
+
+    def pad(a):
+        a = np.asarray(a)
+        if pad_to is None or pad_to <= S:
+            return a
+        return np.concatenate([a, np.repeat(a[-1:], pad_to - S, axis=0)])
+
+    tables = {
+        "t_start": jnp.asarray(pad(grid[0::2][:S]), jnp.int32),
+        "t_mid": jnp.asarray(pad(grid[1::2]), jnp.int32),
+        "a_t": jnp.asarray(pad(np.sqrt(ab[0::2][:S])), jnp.float32),
+        "s_t": jnp.asarray(pad(np.sqrt(1.0 - ab[0::2][:S])), jnp.float32),
+        "a_m": jnp.asarray(pad(np.sqrt(ab[1::2])), jnp.float32),
+        "s_m": jnp.asarray(pad(np.sqrt(1.0 - ab[1::2])), jnp.float32),
+        "a_n": jnp.asarray(pad(np.sqrt(ab[2::2])), jnp.float32),
+        "s_n": jnp.asarray(pad(np.sqrt(1.0 - ab[2::2])), jnp.float32),
+    }
+    return tables, S
+
+
 def make_distill_step(
     student: CondUNet,
     teacher_apply: Callable,
     vae: Optional[VAE],
     schedule: DiffusionSchedule,
-    num_student_steps: int,
     guidance_w: float,
     teacher_prediction_type: str = "epsilon",
     debug_targets: bool = False,
@@ -101,18 +131,14 @@ def make_distill_step(
     ``data["image_u8"]`` is gathered and encoded per step. The student's
     geometry head is left untouched by the distill loss (its weights ride
     along from the teacher init).
+
+    The stage's timestep grid arrives at CALL time as runtime arguments
+    (``tables``, ``n_steps`` from :func:`stage_tables`): padding every
+    stage's tables to the same length lets all stages with the same
+    (guidance on/off, teacher parameterization) share one compiled
+    program — that is 2 compiles for a whole halving schedule instead of
+    one per stage.
     """
-    grid = distill_grid(schedule.num_timesteps, num_student_steps)
-    S = num_student_steps
-    ab = _alpha_bar_of(schedule, grid)          # (2S+1,)
-    t_start = jnp.asarray(grid[0::2][:S])        # (S,) student-step start t
-    t_mid = jnp.asarray(grid[1::2])              # (S,) teacher midpoints
-    a_t = jnp.asarray(np.sqrt(ab[0::2][:S]), jnp.float32)
-    s_t = jnp.asarray(np.sqrt(1.0 - ab[0::2][:S]), jnp.float32)
-    a_m = jnp.asarray(np.sqrt(ab[1::2]), jnp.float32)
-    s_m = jnp.asarray(np.sqrt(1.0 - ab[1::2]), jnp.float32)
-    a_n = jnp.asarray(np.sqrt(ab[2::2]), jnp.float32)
-    s_n = jnp.asarray(np.sqrt(1.0 - ab[2::2]), jnp.float32)
     w = float(guidance_w)
 
     def _teacher_eps(tvars, x, t, y, vals, mask):
@@ -139,9 +165,9 @@ def make_distill_step(
     def _bc(a, nd):
         return a.reshape(a.shape + (1,) * (nd - a.ndim))
 
-    @functools.partial(jax.jit, donate_argnums=0)
+    @functools.partial(jax.jit, donate_argnums=0, static_argnums=())
     def step(state: train_state.TrainState, teacher_params, vae_params,
-             data, idx, key):
+             data, idx, key, tables, n_steps):
         k_vae, k_i, k_eps = jax.random.split(key, 3)
         y_b = jnp.take(data["y"], idx, axis=0).astype(jnp.int32)
         vals_b = jnp.take(data["vals"], idx, axis=0)
@@ -156,15 +182,15 @@ def make_distill_step(
         B = z0.shape[0]
         nd = z0.ndim
 
-        i = jax.random.randint(k_i, (B,), 0, S)
-        t = jnp.take(t_start, i)
-        tm = jnp.take(t_mid, i)
-        at = _bc(jnp.take(a_t, i), nd)
-        st = _bc(jnp.take(s_t, i), nd)
-        am = _bc(jnp.take(a_m, i), nd)
-        sm = _bc(jnp.take(s_m, i), nd)
-        an = _bc(jnp.take(a_n, i), nd)
-        sn = _bc(jnp.take(s_n, i), nd)
+        i = jax.random.randint(k_i, (B,), 0, n_steps)
+        t = jnp.take(tables["t_start"], i)
+        tm = jnp.take(tables["t_mid"], i)
+        at = _bc(jnp.take(tables["a_t"], i), nd)
+        st = _bc(jnp.take(tables["s_t"], i), nd)
+        am = _bc(jnp.take(tables["a_m"], i), nd)
+        sm = _bc(jnp.take(tables["s_m"], i), nd)
+        an = _bc(jnp.take(tables["a_n"], i), nd)
+        sn = _bc(jnp.take(tables["s_n"], i), nd)
 
         eps = jax.random.normal(k_eps, z0.shape, dtype=z0.dtype)
         x_t = at * z0 + st * eps
@@ -242,15 +268,24 @@ def progressive_distill(
 
     teacher_ptype = teacher_prediction_type
     logs: List[dict] = []
+    steps_cache: Dict[Tuple[bool, str], Callable] = {}
     for stage_i, S in enumerate(stages):
         # guidance folds into the FIRST student (Meng et al. stage 1);
         # every later teacher is already guided — re-applying CFG to it
         # would square the guidance
         stage_w = guidance_w if stage_i == 0 else 0.0
-        step = make_distill_step(
-            student, student.apply, vae, schedule, S, stage_w,
-            teacher_prediction_type=teacher_ptype,
-        )
+        # one compiled step per (guided?, teacher-param) combination —
+        # the stage grid arrives as padded runtime tables, so every
+        # later stage reuses the first v-teacher compile
+        ck = (stage_w > 0.0, teacher_ptype)
+        if ck not in steps_cache:
+            steps_cache[ck] = make_distill_step(
+                student, student.apply, vae, schedule, stage_w,
+                teacher_prediction_type=teacher_ptype,
+            )
+        step = steps_cache[ck]
+        tables, n_steps = stage_tables(schedule, S, pad_to=stages[0])
+        n_steps_dev = jnp.asarray(n_steps, jnp.int32)
         state = train_state.TrainState.create(
             apply_fn=None,
             params=jax.tree_util.tree_map(jnp.copy, teacher_params),
@@ -262,7 +297,7 @@ def progressive_distill(
                 rng.integers(0, n, size=batch_size), jnp.int32)
             key, k = jax.random.split(key)
             state, aux = step(state, teacher_params, vae_params, data,
-                              idx, k)
+                              idx, k, tables, n_steps_dev)
             if it % max(1, steps_per_stage // 20) == 0 or \
                     it == steps_per_stage - 1:
                 losses.append(float(aux["loss"]))

@@ -17,6 +17,7 @@ from diffusion_model_tpu.train import (
     make_distill_step,
     progressive_distill,
 )
+from diffusion_model_tpu.train.distill import stage_tables
 
 
 def test_distill_grid_properties():
@@ -82,13 +83,14 @@ def test_exact_teacher_gives_x0_as_target():
     idx = jnp.arange(n, dtype=jnp.int32)
     z0_batch = jnp.take(z0, idx, axis=0)
     step = make_distill_step(unet, oracle_apply, None, sched,
-                             num_student_steps=4, guidance_w=3.0,
-                             debug_targets=True)
+                             guidance_w=3.0, debug_targets=True)
+    tables, n_steps = stage_tables(sched, 4, pad_to=6)  # exercise padding
     import optax
     from flax.training import train_state
     state = train_state.TrainState.create(
         apply_fn=None, params=params, tx=optax.adam(1e-4))
-    _, aux = step(state, params, None, data, idx, jax.random.PRNGKey(2))
+    _, aux = step(state, params, None, data, idx, jax.random.PRNGKey(2),
+                  tables, jnp.asarray(n_steps, jnp.int32))
     np.testing.assert_allclose(np.asarray(aux["x0_tgt"]),
                                np.asarray(aux["z0"]), atol=5e-4)
 
