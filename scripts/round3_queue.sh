@@ -58,6 +58,26 @@ run attn_bf16_cert quality_r2/attn_bf16_cert.json \
 run dpmpp_cert quality_r2/dpmpp50_cert.json \
   python scripts/ddim_cert.py --root ./quality_r2 --method dpmpp --steps 50
 
+# --- 11. progressive guided distillation of the continuation checkpoint
+#         (256 -> 8 steps, guidance 3.0 folded in), then quality-cert the
+#         8-step student on the standard 200/class eval. Uses the same
+#         data the checkpoint was trained on (quality_r2/data).
+run distill quality_r2/model_para/distilled_final.msgpack \
+  python -m diffusion_model_tpu.cli.distill \
+    --unet_ckpt quality_r2/model_para/trained_para_cont.msgpack \
+    --vae_ckpt "$(ls -d quality_r2/vae/*/vae_best.msgpack | head -1)" \
+    --items "quality_r2/data/line_224x224/line_224x224.csv,quality_r2/data/line_224x224,1" \
+    --items "quality_r2/data/circle_224x224/circle_224x224.csv,quality_r2/data/circle_224x224,2" \
+    --items "quality_r2/data/arc_224x224/arc_224x224.csv,quality_r2/data/arc_224x224,3" \
+    --steps_per_stage 1500 --batch_size 128 --guidance 3.0 \
+    --out_dir quality_r2/model_para
+
+run distill_cert quality_r2/distill8_cert.json \
+  python scripts/ddim_cert.py --root ./quality_r2 \
+    --ckpt ./model_para/distilled_final.msgpack --method ddim --steps 8 \
+    --spacing trailing --prediction_type v --guidance 0 \
+    --out_name distill8_cert.json
+
 # --- benches: need an otherwise-idle core ---
 wait_for_torch
 
@@ -119,25 +139,5 @@ grep -q '"metric"' "$LOG/bench_headline.log" 2>/dev/null && touch "$LOG/bench_he
 run bench_fast "$LOG/bench_fast.done" \
   env BENCH_DDIM=1 BENCH_DPMPP=1 BENCH_DISTILL=1 BENCH_REPS=3 python bench.py
 grep -q '"metric"' "$LOG/bench_fast.log" 2>/dev/null && touch "$LOG/bench_fast.done"
-
-# --- 11. progressive guided distillation of the continuation checkpoint
-#         (256 -> 8 steps, guidance 3.0 folded in), then quality-cert the
-#         8-step student on the standard 200/class eval. Uses the same
-#         data the checkpoint was trained on (quality_r2/data).
-run distill quality_r2/model_para/distilled_final.msgpack \
-  python -m diffusion_model_tpu.cli.distill \
-    --unet_ckpt quality_r2/model_para/trained_para_cont.msgpack \
-    --vae_ckpt "$(ls -d quality_r2/vae/*/vae_best.msgpack | head -1)" \
-    --items "quality_r2/data/line_224x224/line_224x224.csv,quality_r2/data/line_224x224,1" \
-    --items "quality_r2/data/circle_224x224/circle_224x224.csv,quality_r2/data/circle_224x224,2" \
-    --items "quality_r2/data/arc_224x224/arc_224x224.csv,quality_r2/data/arc_224x224,3" \
-    --steps_per_stage 1500 --batch_size 128 --guidance 3.0 \
-    --out_dir quality_r2/model_para
-
-run distill_cert quality_r2/distill8_cert.json \
-  python scripts/ddim_cert.py --root ./quality_r2 \
-    --ckpt ./model_para/distilled_final.msgpack --method ddim --steps 8 \
-    --spacing trailing --prediction_type v --guidance 0 \
-    --out_name distill8_cert.json
 
 echo "[$(stamp)] queue complete"
