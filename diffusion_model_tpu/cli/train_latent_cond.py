@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "--prediction_type v at generation too")
     ap.add_argument("--schedule", choices=["linear", "cosine"],
                     default="linear", help="noise schedule")
+    ap.add_argument("--loss_weighting", choices=["uniform", "min_snr"],
+                    default="uniform",
+                    help="timestep loss weighting: min_snr = min-SNR-γ "
+                         "(Hang et al. 2023); uniform = reference MSE")
+    ap.add_argument("--snr_gamma", type=float, default=5.0,
+                    help="γ for --loss_weighting min_snr")
     ap.add_argument("--class_balanced", action="store_true",
                     help="equal per-class share in every batch (protects "
                          "thin classes from the global objective)")
@@ -79,6 +85,7 @@ def main(argv=None) -> None:
         distributed=args.distributed,
         ema_decay=args.ema_decay,
         prediction_type=args.prediction_type, schedule_kind=args.schedule,
+        loss_weighting=args.loss_weighting, snr_gamma=args.snr_gamma,
         class_balanced=args.class_balanced,
         data=DataConfig(
             train_items=parse_items(args.items),

@@ -74,6 +74,12 @@ class LatentTrainConfig:
     prediction_type: str = "epsilon"
     # Noise schedule: "linear" (reference) or "cosine" (improved DDPM).
     schedule_kind: str = "linear"
+    # Timestep loss weighting: "uniform" (reference plain MSE) or
+    # "min_snr" (Hang et al. 2023 min-SNR-γ — clamps easy high-SNR steps
+    # so they can't dominate the multi-task objective). Training only;
+    # the reported val loss stays uniform so runs are comparable.
+    loss_weighting: str = "uniform"
+    snr_gamma: float = 5.0
     # Class-balanced batches (device-resident path): every batch carries an
     # equal share of each class — prevents thin classes (line) being traded
     # away by the global objective (round-2 continuation regression).

@@ -35,7 +35,8 @@ from ..parallel import (replicate, reshard_train_state, shard_batch,
                         shard_params, training_mesh)
 from .checkpoints import load_params, save_params
 from .ema import make_train_state
-from .losses import masked_geom_mae, masked_geom_mse, per_class_noise_loss
+from .losses import (masked_geom_mae, masked_geom_mse, per_class_noise_loss,
+                     snr_loss_weights, weighted_noise_mse)
 from .recorder import MetricsLogger, record_result
 
 
@@ -97,10 +98,25 @@ def _noise_target(schedule: DiffusionSchedule, prediction_type: str,
     return noise
 
 
+def _weighted_noise_loss(schedule: DiffusionSchedule, prediction_type: str,
+                         weighting: str, snr_gamma: float,
+                         eps_pred: jnp.ndarray, target: jnp.ndarray,
+                         t: jnp.ndarray) -> jnp.ndarray:
+    """Noise-regression loss with optional min-SNR-γ timestep weighting
+    (losses.snr_loss_weights). ``weighting`` is static, so the uniform
+    default traces to the reference's exact plain-MSE program — the
+    weighted path only exists in jaxprs that asked for it."""
+    if weighting == "uniform":
+        return jnp.mean(jnp.square(eps_pred - target))
+    w = snr_loss_weights(schedule, t, prediction_type, weighting, snr_gamma)
+    return weighted_noise_mse(eps_pred, target, w)
+
+
 def make_latent_train_step(
     unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
     cfg_drop_prob: float, geom_lambda: float, remat: bool = False,
-    prediction_type: str = "epsilon",
+    prediction_type: str = "epsilon", loss_weighting: str = "uniform",
+    snr_gamma: float = 5.0,
 ):
     T = schedule.num_timesteps
     unet_fwd = _unet_apply(unet, remat)
@@ -132,7 +148,9 @@ def make_latent_train_step(
             eps_pred, geom_pred = unet_fwd(
                 params, z_noisy, t, y_used, vals_used, mask_used
             )
-            loss_noise = jnp.mean(jnp.square(eps_pred - target))
+            loss_noise = _weighted_noise_loss(
+                schedule, prediction_type, loss_weighting, snr_gamma,
+                eps_pred, target, t)
             # geom supervision targets the TRUE vals, masked by keep
             loss_geom = masked_geom_mse(
                 geom_pred, batch["vals"], batch["mask"] * keep
@@ -152,7 +170,8 @@ def make_latent_train_step(
 def make_latent_train_step_indexed(
     unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
     cfg_drop_prob: float, geom_lambda: float, remat: bool = False,
-    prediction_type: str = "epsilon",
+    prediction_type: str = "epsilon", loss_weighting: str = "uniform",
+    snr_gamma: float = 5.0,
 ):
     """Device-resident data path: gathers (image, vals, mask, y) from
     HBM-resident arrays by int32 indices inside the jitted step."""
@@ -188,7 +207,9 @@ def make_latent_train_step_indexed(
             eps_pred, geom_pred = unet_fwd(
                 params, z_noisy, t, y_used, vals_used, mask_used
             )
-            loss_noise = jnp.mean(jnp.square(eps_pred - target))
+            loss_noise = _weighted_noise_loss(
+                schedule, prediction_type, loss_weighting, snr_gamma,
+                eps_pred, target, t)
             loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b * keep)
             loss = loss_noise + geom_lambda * loss_geom
             return loss, {"loss_noise": loss_noise, "loss_geom": loss_geom}
@@ -239,7 +260,8 @@ def make_latent_eval_step_indexed(
 def make_latent_epoch_fn(
     unet: CondUNet, vae: VAE, schedule: DiffusionSchedule,
     cfg_drop_prob: float, geom_lambda: float, remat: bool = False,
-    prediction_type: str = "epsilon",
+    prediction_type: str = "epsilon", loss_weighting: str = "uniform",
+    snr_gamma: float = 5.0,
 ):
     """A full stage-2 training epoch as ONE jitted program (lax.scan over
     index batches of the HBM-resident dataset): frozen-VAE encode, q-sample,
@@ -279,7 +301,9 @@ def make_latent_epoch_fn(
                     params, z_noisy, t, y_used,
                     vals_b * keep, mask_b * keep,
                 )
-                loss_noise = jnp.mean(jnp.square(eps_pred - target))
+                loss_noise = _weighted_noise_loss(
+                    schedule, prediction_type, loss_weighting, snr_gamma,
+                    eps_pred, target, t)
                 loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b * keep)
                 return loss_noise + geom_lambda * loss_geom
 
@@ -464,12 +488,16 @@ def train_latent_cond(cfg: LatentTrainConfig,
             unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda,
             remat=getattr(cfg, "remat", False),
             prediction_type=getattr(cfg, "prediction_type", "epsilon"),
+            loss_weighting=getattr(cfg, "loss_weighting", "uniform"),
+            snr_gamma=getattr(cfg, "snr_gamma", 5.0),
         )
     else:
         train_step = make_latent_train_step(
             unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda,
             remat=getattr(cfg, "remat", False),
             prediction_type=getattr(cfg, "prediction_type", "epsilon"),
+            loss_weighting=getattr(cfg, "loss_weighting", "uniform"),
+            snr_gamma=getattr(cfg, "snr_gamma", 5.0),
         )
         train_loader = PrefetchLoader(train_ds, cfg.batch_size, shuffle=True,
                                       seed=cfg.seed, device_put_fn=put)

@@ -147,12 +147,14 @@ def main():
 
     # --- cosine continuation -------------------------------------------------
     cont = _read_json("quality_r2/continue_summary_cos.json")
-    print("## Line-class continuation (cosine lr)")
+    print("## Line-class continuation (cosine lr; raw vs EMA weights)")
     if cont:
-        for cls, row in cont.get("eval", cont.get("metrics", {})).items():
-            print(f"- {cls}: grec {row.get('gauss_recall_mean', 0):.3f}, "
-                  f"far {row.get('far_noise_ratio_mean', 0):.3f}, "
-                  f"gt_iou {row.get('gt_iou_mean', 0):.3f}")
+        for label, mkey in (("raw", "metrics"), ("ema", "metrics_ema")):
+            for cls, row in cont.get(mkey, {}).items():
+                print(f"- {label} {cls}: "
+                      f"grec {row.get('gauss_recall_mean', 0):.3f}, "
+                      f"far {row.get('far_noise_ratio_mean', 0):.3f}, "
+                      f"gt_iou {row.get('gt_iou_mean', 0):.3f}")
     else:
         missing.append("cosine continuation (quality_r2/continue_summary_cos.json)")
     print()

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--lr_final_frac", type=float, default=0.1)
     ap.add_argument("--class_balanced", action="store_true",
                     help="equal per-class share in every batch")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="track an EMA of the weights during the "
+                         "continuation and ALSO generate+eval from it "
+                         "(trained_para_cont<tag>_ema.msgpack, metrics_ema "
+                         "in the summary); 0 disables")
     ap.add_argument("--ckpt", default="./model_para/trained_para.msgpack",
                     help="parameter checkpoint to warm-start from")
     ap.add_argument("--tag", default="",
@@ -53,7 +58,6 @@ def main():
     import glob
 
     import optax
-    from flax.training import train_state
 
     from diffusion_model_tpu.config import DataConfig, LatentTrainConfig
     from diffusion_model_tpu.data import LabelDataset
@@ -63,6 +67,7 @@ def main():
     from diffusion_model_tpu.parallel import mesh_for_batch
     from diffusion_model_tpu.pipeline import CsvConditionSampler, DiffusionPipeline
     from diffusion_model_tpu.train.checkpoints import load_params, save_params
+    from diffusion_model_tpu.train.ema import make_train_state
     from diffusion_model_tpu.train.device_data import (
         epoch_index_matrix, epoch_index_matrix_stratified,
         maybe_device_resident, put_index_matrix,
@@ -101,9 +106,11 @@ def main():
         )
     else:
         lr = args.lr
-    state = train_state.TrainState.create(
-        apply_fn=unet.apply, params=unet_params, tx=optax.adam(lr),
-    )
+    # EMA (when enabled) starts as a copy of the warm-start weights and is
+    # updated inside the same jitted epoch scan the trainer uses — sampling
+    # from it averages out late-training oscillation (train/ema.py).
+    state = make_train_state(unet.apply, unet_params, optax.adam(lr),
+                             ema_decay=args.ema_decay)
     mesh = mesh_for_batch(cfg.batch_size)
     data_dev = maybe_device_resident(ds, mesh)
     assert data_dev is not None
@@ -134,41 +141,56 @@ def main():
         if args.save_every and epoch % args.save_every == 0:
             save_params(f"./model_para/trained_para_cont{args.tag}"
                         ".msgpack", state.params)
+            if args.ema_decay > 0.0:
+                save_params(f"./model_para/trained_para_cont{args.tag}"
+                            "_ema.msgpack", state.ema_params)
     save_params(f"./model_para/trained_para_cont{args.tag}.msgpack",
                 state.params)
+    if args.ema_decay > 0.0:
+        save_params(f"./model_para/trained_para_cont{args.tag}_ema.msgpack",
+                    state.ema_params)
     log["train_s"] = round(time.time() - t0, 1)
     log["losses_every10"] = losses_hist
 
-    pipe = DiffusionPipeline(
-        unet=unet, unet_params=state.params, vae=vae, vae_params=vae_params,
-        schedule=schedule,
-    )
-    sampler = CsvConditionSampler(pipe, class_id=1)
     from diffusion_model_tpu.train.recorder import save_images
 
-    summaries = {}
-    for cls, cname in CLASS_NAMES.items():
-        d = f"./data/{cname}_224x224_test"
-        cls_dir = f"./generated_by_cond/continued{args.tag}/{cname}"
-        os.makedirs(cls_dir, exist_ok=True)
-        sampler.set_class_id(cls)
-        imgs = sampler.sample(
-            f"{d}/{cname}_224x224_test.csv", count=args.gen_count,
-            guidance_scale=3.0, key=jax.random.PRNGKey(100 + cls),
+    def gen_and_eval(unet_p, variant_tag):
+        """Generate gen_count/class from ``unet_p`` and run the full eval."""
+        pipe = DiffusionPipeline(
+            unet=unet, unet_params=unet_p, vae=vae, vae_params=vae_params,
+            schedule=schedule,
         )
-        save_images(cls_dir, imgs)
-        res = evaluate_dirs(gt_dir=d, gen_dir=cls_dir,
-                            out_dir=f"./eval_result/{cname}_cont{args.tag}",
-                            threshold=128, invert=True, sigma=2.0,
-                            save_diff=True)
-        s = res["summary"].iloc[0]
-        summaries[cname] = {
-            k: round(float(s[k]), 4)
-            for k in ("iou_mean", "gt_iou_mean", "far_noise_ratio_mean",
-                      "gauss_recall_mean", "gauss_recall_median")
-        }
-        print(cname, summaries[cname], flush=True)
-    log["metrics"] = summaries
+        sampler = CsvConditionSampler(pipe, class_id=1)
+        summaries = {}
+        for cls, cname in CLASS_NAMES.items():
+            d = f"./data/{cname}_224x224_test"
+            cls_dir = (f"./generated_by_cond/continued{args.tag}"
+                       f"{variant_tag}/{cname}")
+            os.makedirs(cls_dir, exist_ok=True)
+            sampler.set_class_id(cls)
+            imgs = sampler.sample(
+                f"{d}/{cname}_224x224_test.csv", count=args.gen_count,
+                guidance_scale=3.0, key=jax.random.PRNGKey(100 + cls),
+            )
+            save_images(cls_dir, imgs)
+            res = evaluate_dirs(
+                gt_dir=d, gen_dir=cls_dir,
+                out_dir=f"./eval_result/{cname}_cont{args.tag}{variant_tag}",
+                threshold=128, invert=True, sigma=2.0, save_diff=True)
+            s = res["summary"].iloc[0]
+            summaries[cname] = {
+                k: round(float(s[k]), 4)
+                for k in ("iou_mean", "gt_iou_mean", "far_noise_ratio_mean",
+                          "gauss_recall_mean", "gauss_recall_median")
+            }
+            print(f"{cname}{variant_tag}", summaries[cname], flush=True)
+        return summaries
+
+    log["metrics"] = gen_and_eval(state.params, "")
+    if args.ema_decay > 0.0:
+        # same seeds/conditions: raw-vs-EMA is a pure weight A/B
+        log["ema_decay"] = args.ema_decay
+        log["metrics_ema"] = gen_and_eval(state.ema_params, "_ema")
     with open(f"continue_summary{args.tag}.json", "w") as f:
         json.dump(log, f, indent=2)
     print(json.dumps(log, indent=2), flush=True)

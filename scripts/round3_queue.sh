@@ -115,12 +115,6 @@ run no_fetch_sweep "$LOG/no_fetch_sweep.done" \
   python scripts/profile_batch_scaling.py --no_fetch --batches 64 128 256 --skip_ablations
 grep -q '^FINAL' "$LOG/no_fetch_sweep.log" 2>/dev/null && touch "$LOG/no_fetch_sweep.done"
 
-# --- 8. line-class continuation with cosine lr decay (VERDICT r2 #5)
-run continue_cos quality_r2/continue_summary_cos.json \
-  python scripts/continue_latent.py --root ./quality_r2 --epochs 300 \
-    --lr_schedule cosine --class_balanced --tag _cos \
-    --ckpt ./model_para/trained_para_cont.msgpack
-
 # --- 8b. DDPM scan-unroll A/B (pure scheduling knob, bit-identical output)
 run bench_unroll2 "$LOG/bench_unroll2.done" \
   env DIFFUSION_TPU_SCAN_UNROLL=2 BENCH_REPS=3 python bench.py
@@ -139,5 +133,14 @@ grep -q '"metric"' "$LOG/bench_headline.log" 2>/dev/null && touch "$LOG/bench_he
 run bench_fast "$LOG/bench_fast.done" \
   env BENCH_DDIM=1 BENCH_DPMPP=1 BENCH_DISTILL=1 BENCH_REPS=3 python bench.py
 grep -q '"metric"' "$LOG/bench_fast.log" 2>/dev/null && touch "$LOG/bench_fast.done"
+
+# --- 8. line-class continuation with cosine lr decay + EMA (VERDICT r2 #5)
+#        Last on purpose: ~2.5 h of chip time that nothing downstream gates
+#        on, so the benches/certs above land first if the tunnel window is
+#        short. Raw AND EMA weights are generated+evaluated (weight A/B).
+run continue_cos quality_r2/continue_summary_cos.json \
+  python scripts/continue_latent.py --root ./quality_r2 --epochs 300 \
+    --lr_schedule cosine --class_balanced --ema_decay 0.999 --tag _cos \
+    --ckpt ./model_para/trained_para_cont.msgpack
 
 echo "[$(stamp)] queue complete"
