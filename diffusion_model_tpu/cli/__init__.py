@@ -16,4 +16,7 @@
       counterpart: warm-pipeline HTTP inference server)
   python -m diffusion_model_tpu.cli.distill            (no reference
       counterpart: progressive guided distillation to few-step samplers)
+  python -m diffusion_model_tpu.cli.convert_checkpoint (no reference
+      counterpart: import reference-trained torch .pth state_dicts as
+      framework msgpack checkpoints)
 """

@@ -1,0 +1,155 @@
+"""CLI: convert a reference-trained torch ``.pth`` checkpoint into the
+framework's msgpack format.
+
+The reference saves plain ``state_dict()`` files for the VAE
+(train_vae.py via early_stopping.py:57) and the conditional U-Net
+(utils.py:65); this tool converts either — architecture auto-detected
+from the keys — so reference-trained weights run on TPU directly:
+
+    python -m diffusion_model_tpu.cli.convert_checkpoint \
+        --input vae_best.pth --output vae_best.msgpack
+    python -m diffusion_model_tpu.cli.convert_checkpoint \
+        --input trained_para.pth --output trained_para.msgpack
+
+Every converted tree is validated (structure + shapes) against a freshly
+built framework model of the inferred architecture before writing; the
+inferred constructor kwargs are printed and saved next to the output as
+``<output>.arch.json`` so generation CLIs can be invoked with matching
+``--base_ch``/``--time_dim``/... flags. Resumable trainer checkpoints
+that wrap the weights (``{"model": state_dict, ...}``) are unwrapped
+automatically.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        description="Convert reference torch checkpoints to framework msgpack"
+    )
+    ap.add_argument("--input", required=True, help="torch .pth state_dict")
+    ap.add_argument("--output", required=True, help="msgpack output path")
+    ap.add_argument("--arch", choices=["auto", "vae", "unet"],
+                    default="auto", help="override architecture detection")
+    ap.add_argument("--no_validate", action="store_true",
+                    help="skip the structure/shape validation against a "
+                         "freshly built framework model")
+    return ap
+
+
+def _load_state_dict(path: str):
+    try:
+        import torch
+    except ImportError:  # pragma: no cover - torch is in the base image
+        sys.exit("torch is required to read .pth checkpoints")
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "model" in obj and not hasattr(
+            obj["model"], "shape"):
+        obj = obj["model"]  # resumable trainer checkpoint wrapper
+    if not isinstance(obj, dict) or not all(
+            hasattr(v, "shape") for v in obj.values()):
+        sys.exit(f"{path} is not a flat state_dict (torch.save(model."
+                 f"state_dict(), ...)); whole-module pickles are not "
+                 f"supported — save the state_dict from the reference side")
+    return obj
+
+
+def _validate_unet(tree, arch) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import CondUNet, UNetConfig
+
+    model = CondUNet(UNetConfig(
+        in_ch=arch["in_ch"], base_ch=arch["base_ch"],
+        time_dim=arch["time_dim"], num_classes=arch["num_classes"],
+        with_geom_head=arch["with_geom_head"],
+        geom_dim=arch.get("geom_dim", 12),
+        geom_hidden=arch.get("geom_hidden", 256),
+        remove_deep_conv=arch["remove_deep_conv"],
+    ))
+    gd = arch.get("geom_dim", 12)
+    if "cond_fc1" in tree:
+        args = (jnp.ones((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+                jnp.zeros((1, gd)), jnp.ones((1, gd)))
+    elif arch["num_classes"] is not None:
+        args = (jnp.ones((1,), jnp.int32), jnp.ones((1,), jnp.int32))
+    else:
+        args = (jnp.ones((1,), jnp.int32),)
+    init = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 16, 16, arch["in_ch"])), *args),
+        jax.random.PRNGKey(0),
+    )["params"]
+    _assert_same_shapes(init, tree)
+
+
+def _validate_vae(tree, arch) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import VAE, VAEConfig
+
+    model = VAE(VAEConfig(in_channels=arch["in_channels"],
+                          z_channels=arch["z_channels"],
+                          base_channels=arch["base_channels"]))
+    init = jax.eval_shape(
+        lambda k1, k2: model.init(
+            {"params": k1, "sample": k2},
+            jnp.zeros((1, 32, 32, arch["in_channels"]))),
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+    )["params"]
+    _assert_same_shapes(init, tree)
+
+
+def _shapes(d, pre=""):
+    out = {}
+    for k, v in d.items():
+        if hasattr(v, "shape"):
+            out[pre + k] = tuple(v.shape)
+        else:
+            out.update(_shapes(v, pre + k + "/"))
+    return out
+
+
+def _assert_same_shapes(init, tree) -> None:
+    a, b = _shapes(init), _shapes(tree)
+    if a != b:
+        only_init = sorted(set(a) - set(b))
+        only_tree = sorted(set(b) - set(a))
+        diff = [k for k in set(a) & set(b) if a[k] != b[k]]
+        sys.exit(f"converted tree does not match the framework model:\n"
+                 f"  missing leaves: {only_init[:6]}\n"
+                 f"  unexpected leaves: {only_tree[:6]}\n"
+                 f"  shape mismatches: "
+                 f"{[(k, a[k], b[k]) for k in diff[:6]]}")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from ..tools.torch_import import (convert_unet_state_dict,
+                                      convert_vae_state_dict, detect_arch)
+    from ..train.checkpoints import save_params
+
+    sd = _load_state_dict(args.input)
+    kind = detect_arch(sd) if args.arch == "auto" else args.arch
+    if kind == "vae":
+        tree, arch = convert_vae_state_dict(sd)
+        if not args.no_validate:
+            _validate_vae(tree, arch)
+    else:
+        tree, arch = convert_unet_state_dict(sd)
+        if not args.no_validate:
+            _validate_unet(tree, arch)
+    save_params(args.output, tree)
+    meta = {"kind": kind, **arch}
+    with open(args.output + ".arch.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"[OK] {kind} checkpoint converted -> {args.output}")
+    print(json.dumps(meta))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,8 @@ def main():
     for name, path in (
         ("framework @ lr 1e-4", "parity96lr1_fw/quality_summary.json"),
         ("torch reference @ lr 2e-4", "parity96c_torch/torch_ref_summary.json"),
+        ("framework min-SNR-γ @ lr 2e-4",
+         "parity96minsnr_fw/quality_summary.json"),
     ):
         d = _read_json(path)
         if not d:

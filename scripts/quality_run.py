@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--geom_lambda", type=float, default=0.0,
                     help="geometry-head loss weight (reference sweeps "
                          "{0, 0.01, 0.05, 0.1}, image_tools.py:470-478)")
+    ap.add_argument("--loss_weighting", choices=["uniform", "min_snr"],
+                    default="uniform",
+                    help="stage-2 timestep loss weighting (min-SNR-γ, "
+                         "Hang et al. 2023; uniform = reference MSE)")
+    ap.add_argument("--snr_gamma", type=float, default=5.0)
     ap.add_argument("--orbax_dir", default="./orbax_ck",
                     help="async Orbax full-state checkpoints every epoch so "
                          "a multi-hour run survives a tunnel wedge; resumes "
@@ -114,6 +119,7 @@ def main():
         epochs=args.latent_epochs, batch_size=args.latent_bs,
         lr=args.latent_lr, num_timesteps=args.timesteps,
         vae_ckpt=vae_ckpt_path, data=data, geom_lambda=args.geom_lambda,
+        loss_weighting=args.loss_weighting, snr_gamma=args.snr_gamma,
         post_train_samples=0,
         resume_dir=os.path.abspath(args.orbax_dir) if args.orbax_dir
         else None,

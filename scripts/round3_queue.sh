@@ -50,6 +50,25 @@ run parity96lr1 parity96lr1_fw/quality_summary.json \
     --vae_ckpt /root/repo/parity96_fw/vae/2026_08_17_14_02/vae_best.msgpack \
     --data_dir /root/repo/parity96s_fw/data
 
+# --- 2b. min-SNR-γ A/B at the identical 96px budget/data/VAE: the uniform
+#         side is parity96s_fw (lr 2e-4, gauss_recall 0.37/0.42/0.51); this
+#         leg changes ONLY the loss weighting. ~25 min chip time.
+run parity96minsnr parity96minsnr_fw/quality_summary.json \
+  python scripts/quality_run.py --root parity96minsnr_fw --image_size 96 \
+    --train_count 1000 --val_count 64 --test_count 64 --vae_epochs 20 \
+    --latent_epochs 200 --latent_bs 32 --latent_lr 2e-4 --gen_count 64 \
+    --loss_weighting min_snr \
+    --vae_ckpt /root/repo/parity96_fw/vae/2026_08_17_14_02/vae_best.msgpack \
+    --data_dir /root/repo/parity96s_fw/data
+
+# --- 2c. checkpoint-portability proof: convert the torch run's TRAINED
+#         .pth weights (real reference classes) and score them through the
+#         framework pipeline; metrics should match torch_ref_summary.json
+#         within sampling noise.
+run torch_ckpt_eval parity96b_torch_fwports/torch_ckpt_eval.json \
+  python scripts/torch_ckpt_eval.py --torch_root ./parity96b_torch \
+    --image_size 96 --gen_count 64
+
 # --- 3. bf16-attention-scores quality certification (round-3 kernel lever)
 run attn_bf16_cert quality_r2/attn_bf16_cert.json \
   python scripts/attn_bf16_cert.py --root ./quality_r2
