@@ -143,6 +143,16 @@ run bench_unroll4 "$LOG/bench_unroll4.done" \
   env DIFFUSION_TPU_SCAN_UNROLL=4 BENCH_REPS=3 python bench.py
 grep -q '"metric"' "$LOG/bench_unroll4.log" 2>/dev/null && touch "$LOG/bench_unroll4.done"
 
+# --- 8c. combined-levers probe: all quality-preserving knobs at once
+#         (upper bound for what the round-3 defaults could adopt; bf16
+#         scores included — its quality cert is stage 3)
+run bench_combo "$LOG/bench_combo.done" \
+  env DIFFUSION_TPU_SCAN_UNROLL=2 DIFFUSION_TPU_STAGE_GN_PALLAS=1 \
+      DIFFUSION_TPU_ATTN_BF16_SCORES=1 \
+      XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 \
+      BENCH_REPS=4 python bench.py
+grep -q '"metric"' "$LOG/bench_combo.log" 2>/dev/null && touch "$LOG/bench_combo.done"
+
 # --- 9. fresh headline bench (default config) for BASELINE.md round-3 table
 run bench_headline "$LOG/bench_headline.done" \
   env BENCH_REPS=5 python bench.py
