@@ -22,17 +22,40 @@ from ..train.recorder import save_images
 from ..utils.env import timestamp_dir_name
 
 
+def _arch_sidecar(ckpt_path: str) -> dict:
+    """``convert_checkpoint`` writes ``<ckpt>.arch.json`` with the inferred
+    constructor kwargs; when present it overrides the shape flags so
+    imported reference checkpoints need no manual ``--base_ch``/... ."""
+    import json
+
+    try:
+        with open(ckpt_path + ".arch.json") as f:
+            meta = json.load(f)
+        print(f"[arch] using {ckpt_path}.arch.json: {meta}")
+        return meta
+    except OSError:
+        return {}
+
+
 def build_pipeline_from_args(args) -> DiffusionPipeline:
     import jax.numpy as jnp
 
     dt = jnp.bfloat16 if not args.no_bf16 else jnp.float32
+    ua = _arch_sidecar(args.unet_ckpt)
+    va = _arch_sidecar(args.vae_ckpt)
     unet = CondUNet(UNetConfig(
-        in_ch=args.z_channels, time_dim=args.time_dim, num_classes=3,
-        geom_dim=args.geom_dim, with_geom_head=True, base_ch=args.base_ch,
+        in_ch=ua.get("in_ch", args.z_channels),
+        time_dim=ua.get("time_dim", args.time_dim),
+        num_classes=ua.get("num_classes", 3),
+        geom_dim=ua.get("geom_dim", args.geom_dim),
+        with_geom_head=ua.get("with_geom_head", True),
+        base_ch=ua.get("base_ch", args.base_ch),
+        remove_deep_conv=ua.get("remove_deep_conv", False),
         dtype=dt,
     ))
     vae = VAE(VAEConfig(
-        z_channels=args.z_channels, base_channels=args.vae_base_channels,
+        z_channels=va.get("z_channels", args.z_channels),
+        base_channels=va.get("base_channels", args.vae_base_channels),
         dtype=dt,
     ))
     ih, iw = args.image_size

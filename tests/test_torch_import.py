@@ -142,6 +142,46 @@ def test_cli_unwraps_resumable_checkpoint(tmp_path):
     _assert_trees_equal(loaded, target)
 
 
+def test_generate_cond_arch_sidecar_override(tmp_path, monkeypatch):
+    """generate_cond auto-reads the importer's <ckpt>.arch.json sidecars so
+    converted checkpoints need no manual shape flags."""
+    import json
+
+    from diffusion_model_tpu.cli import generate_cond as gc
+
+    ua = {"kind": "unet", "in_ch": 4, "base_ch": 32, "time_dim": 128,
+          "num_classes": 3, "with_geom_head": False, "geom_dim": 12,
+          "remove_deep_conv": True}
+    va = {"kind": "vae", "in_channels": 3, "base_channels": 16,
+          "z_channels": 4}
+    (tmp_path / "u.msgpack.arch.json").write_text(json.dumps(ua))
+    (tmp_path / "v.msgpack.arch.json").write_text(json.dumps(va))
+
+    captured = {}
+
+    def fake_from_checkpoints(unet_ckpt, vae_ckpt, unet, vae, **kw):
+        captured["unet"], captured["vae"] = unet, vae
+        return type("P", (), {"prediction_type": "epsilon"})()
+
+    monkeypatch.setattr(gc.DiffusionPipeline, "from_checkpoints",
+                        staticmethod(fake_from_checkpoints))
+    args = gc.build_parser().parse_args(
+        ["--unet_ckpt", str(tmp_path / "u.msgpack"),
+         "--vae_ckpt", str(tmp_path / "v.msgpack")])
+    gc.build_pipeline_from_args(args)
+    ucfg = captured["unet"].config
+    assert (ucfg.base_ch, ucfg.time_dim) == (32, 128)
+    assert ucfg.remove_deep_conv and not ucfg.with_geom_head
+    assert captured["vae"].config.base_channels == 16
+    # no sidecar -> CLI flag defaults (reference sizes)
+    args2 = gc.build_parser().parse_args(
+        ["--unet_ckpt", str(tmp_path / "no.msgpack"),
+         "--vae_ckpt", str(tmp_path / "no2.msgpack")])
+    gc.build_pipeline_from_args(args2)
+    assert captured["unet"].config.base_ch == 64
+    assert captured["unet"].config.with_geom_head
+
+
 @pytest.mark.heavy
 @pytest.mark.skipif(not os.path.isdir(REFERENCE_DIR),
                     reason="reference checkout not available")
