@@ -49,7 +49,9 @@ def epoch_index_batches(
         rng.shuffle(idx)
     pad = (-n) % batch_size
     if pad:
-        idx = np.concatenate([idx, idx[:pad]])
+        # wrap-pad may need more than one full copy when batch_size > n
+        reps = -(-pad // n)
+        idx = np.concatenate([idx, np.tile(idx, reps)[:pad]])
     for b in idx.reshape(-1, batch_size):
         yield b
 

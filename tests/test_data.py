@@ -189,3 +189,15 @@ def test_stratified_index_matrix_balances_classes():
     # the big class must not repeat an index before exhausting its pool
     line_rows = mat[labels[mat] == 1]
     assert len(np.unique(line_rows)) == min(50, len(line_rows))
+
+
+def test_epoch_index_batches_batch_larger_than_dataset():
+    """Wrap-padding must survive batch_size > n (tiny smoke datasets):
+    idx[:pad] alone clips when pad > n, under-filling the batch."""
+    import numpy as np
+    from diffusion_model_tpu.train.device_data import epoch_index_matrix
+
+    for n, B in [(24, 64), (3, 8), (1, 4), (65, 64)]:
+        mat = epoch_index_matrix(n, B, np.random.default_rng(0))
+        assert mat.shape == (-(-n // B), B)
+        assert set(mat.ravel()) == set(range(n))
