@@ -43,7 +43,10 @@ run lambda_sweep quality_r2/lambda_sweep/lambda_01/summary.json \
 # --- 2. framework side of the 96px cross-stack parity at the torch
 #        reference's exact lr (1e-4; the scout used the fw default 2e-4).
 #        Same rendered data + same stage-1 VAE checkpoint as the scout.
+#        flock: a CPU-fallback run of this same leg may own the root during
+#        a long tunnel outage — skip here (flock -n) and let it finish.
 run parity96lr1 parity96lr1_fw/quality_summary.json \
+  flock -n /tmp/parity96lr1.lock \
   python scripts/quality_run.py --root parity96lr1_fw --image_size 96 \
     --train_count 1000 --val_count 64 --test_count 64 --vae_epochs 20 \
     --latent_epochs 200 --latent_bs 32 --latent_lr 1e-4 --gen_count 64 \
