@@ -64,6 +64,7 @@ def main():
         "encoder-cached k=2,3": f"{args.qlog}/bench_cached.log",
         "scan unroll=2": f"{args.qlog}/bench_unroll2.log",
         "scan unroll=4": f"{args.qlog}/bench_unroll4.log",
+        "combined levers": f"{args.qlog}/bench_combo.log",
     }
     for name, path in bench_logs.items():
         rows = _bench_lines(path)
@@ -145,6 +146,24 @@ def main():
                     f"/{e.get('far_noise_ratio_mean', float('nan')):.3f}"
                     f"/{e.get('gt_iou_mean', float('nan')):.3f}")
         print(f"- {name}: {' | '.join(cells) if cells else list(d.keys())}")
+    print()
+
+    # --- torch-checkpoint portability eval -----------------------------------
+    print("## Torch checkpoint portability "
+          "(reference-trained weights through the framework)")
+    tce = _read_json("parity96b_torch_fwports/torch_ckpt_eval.json")
+    if tce:
+        for label, mkey in (("fw(ported)", "metrics"),
+                            ("torch(native)", "torch_metrics")):
+            m = tce.get(mkey) or {}
+            for cls, row in m.items():
+                print(f"- {label} {cls}: "
+                      f"grec {row.get('gauss_recall_mean', 0):.3f}, "
+                      f"far {row.get('far_noise_ratio_mean', 0):.3f}, "
+                      f"gt_iou {row.get('gt_iou_mean', 0):.3f}")
+    else:
+        missing.append("torch ckpt eval "
+                       "(parity96b_torch_fwports/torch_ckpt_eval.json)")
     print()
 
     # --- cosine continuation -------------------------------------------------
