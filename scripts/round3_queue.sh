@@ -103,6 +103,22 @@ run distill_cert quality_r2/distill8_cert.json \
 # --- benches: need an otherwise-idle core ---
 wait_for_torch
 
+# a CPU-fallback parity leg may be running through a tunnel outage; pause
+# it (SIGSTOP) for the timing-sensitive bench block, resume after. Exact
+# PIDs only — never pattern-kill.
+CPU_LEG_PIDS=$(pgrep -f "quality_run.py --root parity96lr1_fw" || true)
+if [ -n "$CPU_LEG_PIDS" ]; then
+  echo "[$(stamp)] pausing CPU-fallback leg ($CPU_LEG_PIDS) for benches"
+  kill -STOP $CPU_LEG_PIDS 2>/dev/null
+fi
+resume_cpu_leg() {
+  if [ -n "${CPU_LEG_PIDS:-}" ]; then
+    echo "[$(stamp)] resuming CPU-fallback leg ($CPU_LEG_PIDS)"
+    kill -CONT $CPU_LEG_PIDS 2>/dev/null
+  fi
+}
+trap resume_cpu_leg EXIT
+
 # --- 4b. step decomposition: price the assembled production step vs its
 #         parts (where do the remaining ms go at CFG batch 128?)
 run step_decomp "$LOG/step_decomp.done" \
@@ -165,6 +181,9 @@ grep -q '"metric"' "$LOG/bench_headline.log" 2>/dev/null && touch "$LOG/bench_he
 run bench_fast "$LOG/bench_fast.done" \
   env BENCH_DDIM=1 BENCH_DPMPP=1 BENCH_DISTILL=1 BENCH_REPS=3 python bench.py
 grep -q '"metric"' "$LOG/bench_fast.log" 2>/dev/null && touch "$LOG/bench_fast.done"
+
+resume_cpu_leg
+trap - EXIT
 
 # --- 8. line-class continuation with cosine lr decay + EMA (VERDICT r2 #5)
 #        Last on purpose: ~2.5 h of chip time that nothing downstream gates
