@@ -106,7 +106,14 @@ wait_for_torch
 # a CPU-fallback parity leg may be running through a tunnel outage; pause
 # it (SIGSTOP) for the timing-sensitive bench block, resume after. Exact
 # PIDs only — never pattern-kill.
-CPU_LEG_PIDS=$(pgrep -f "quality_run.py --root parity96lr1_fw" || true)
+# pidfile written by the launcher; only verified-alive PIDs are paused
+CPU_LEG_PIDS=""
+if [ -f /tmp/parity96lr1_cpu.pid ]; then
+  for p in $(cat /tmp/parity96lr1_cpu.pid); do
+    kill -0 "$p" 2>/dev/null && CPU_LEG_PIDS="$CPU_LEG_PIDS $p"
+  done
+  CPU_LEG_PIDS=${CPU_LEG_PIDS# }
+fi
 if [ -n "$CPU_LEG_PIDS" ]; then
   echo "[$(stamp)] pausing CPU-fallback leg ($CPU_LEG_PIDS) for benches"
   kill -STOP $CPU_LEG_PIDS 2>/dev/null
