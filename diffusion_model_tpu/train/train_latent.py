@@ -630,10 +630,12 @@ def train_latent_cond(cfg: LatentTrainConfig,
             val_losses.append(val_loss)
             print(f"[Epoch {epoch:03d}] train={train_loss:.6f}  "
                   f"val={val_loss:.6f}" + "".join(
-                      f"  {k[4:]}={v}" for k, v in val_extra.items()))
+                      f"  {k[4:]}={v}" for k, v in val_extra.items()),
+                  flush=True)
         else:
             val_losses.append(float("nan"))
-            print(f"[Epoch {epoch:03d}] train={train_loss:.6f}  val=skip")
+            print(f"[Epoch {epoch:03d}] train={train_loss:.6f}  val=skip",
+                  flush=True)
         perf = timer.summary()
         metrics.log(kind="epoch", epoch=epoch, train_loss=train_loss,
                     val_loss=val_losses[-1],

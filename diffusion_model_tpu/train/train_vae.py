@@ -359,7 +359,7 @@ def train_vae(cfg: VAETrainConfig, out_dir: Optional[str] = None) -> dict:
                     images_per_sec=round(perf["items_per_sec"], 2),
                     elapsed_s=time.time() - start)
         print(f"[Epoch {epoch:03d}] train={train_loss:.6f}  "
-              f"val={val_loss:.6f}")
+              f"val={val_loss:.6f}", flush=True)
         if manager is not None and (
                 epoch % cfg.ckpt_interval == 0 or epoch == cfg.epochs):
             manager.save(epoch, {"state": jax.device_get(current["state"]),
