@@ -242,7 +242,36 @@ def time_batch_nofetch(pipe, batch: int, reps: int, key) -> dict:
     }
 
 
+def _probe_device_or_die(timeout_s: int = 300) -> None:
+    """Fail fast when the TPU tunnel is wedged.
+
+    ``jax.devices()`` under the axon plugin hangs silently (no error, no
+    timeout) while the tunnel is down — observed outages run 6-25+ hours.
+    Probe device initialization in a bounded subprocess first so an
+    unattended bench invocation exits nonzero in minutes instead of
+    hanging forever. Skipped for explicit CPU runs.
+    """
+    if os.environ.get("DIFFUSION_TPU_PLATFORM", "").lower() == "cpu":
+        return
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench: device initialization did not answer within "
+              f"{timeout_s}s (TPU tunnel down?) — aborting", flush=True)
+        sys.exit(2)
+    except subprocess.CalledProcessError as e:
+        print(f"bench: device probe failed (rc={e.returncode})", flush=True)
+        sys.exit(2)
+
+
 def main():
+    _probe_device_or_die()
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     sweep = os.environ.get("BENCH_SWEEP", "0") == "1"
