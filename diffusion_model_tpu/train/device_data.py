@@ -11,12 +11,31 @@ streaming PrefetchLoader.
 """
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import jax
 import numpy as np
 
 from ..parallel import batch_sharding, replicate
+
+
+def epoch_fuse_default() -> bool:
+    """Whether trainers should fuse a whole epoch into ONE jitted
+    ``lax.scan`` program (vs one jitted step per batch, Python loop).
+
+    On TPU the fused program is the fast path: per-dispatch host↔device
+    latency (0.3-0.4 s through the axon tunnel) would otherwise dominate
+    small-dataset epochs. On XLA:CPU the opposite holds — measured on the
+    full-size stage-2 step (96px images, bs 32): 22.6 s/step inside the
+    epoch scan vs 2.1 s/step for the identical jitted step called from
+    Python (XLA:CPU de-optimizes conv-heavy bodies inside While loops).
+    ``DIFFUSION_TPU_EPOCH_FUSE=0/1`` overrides the platform default.
+    """
+    env = os.environ.get("DIFFUSION_TPU_EPOCH_FUSE")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() != "cpu"
 
 # ~12 GB of HBM on a v5e chip after weights/activations; stay conservative.
 DEFAULT_MAX_BYTES = 6 * 1024**3

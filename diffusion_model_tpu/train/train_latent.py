@@ -251,8 +251,13 @@ def make_latent_eval_step_indexed(
         )
         loss_noise = jnp.mean(jnp.square(eps_pred - target))
         loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b)
+        # same extras as the fused eval scan body so the stepped (CPU)
+        # mode reports identical metrics.jsonl fields
+        cls_sum, cls_cnt = per_class_noise_loss(eps_pred, noise, y_b)
         return {"loss": loss_noise + geom_lambda * loss_geom,
-                "loss_noise": loss_noise, "loss_geom": loss_geom}
+                "loss_noise": loss_noise, "loss_geom": loss_geom,
+                "geom_mae": masked_geom_mae(geom_pred, vals_b, mask_b),
+                "cls_sum": cls_sum, "cls_cnt": cls_cnt}
 
     return step
 
@@ -449,8 +454,9 @@ def train_latent_cond(cfg: LatentTrainConfig,
     train_ds, val_ds = _resolve_datasets(cfg)
 
     from .device_data import (
-        epoch_index_matrix, epoch_index_matrix_stratified,
-        maybe_device_resident, put_index_matrix,
+        epoch_fuse_default, epoch_index_matrix,
+        epoch_index_matrix_stratified, maybe_device_resident,
+        put_index_matrix, put_indices,
     )
 
     # Residency is decided PER DATASET (a >6GB train set with a small val
@@ -483,8 +489,20 @@ def train_latent_cond(cfg: LatentTrainConfig,
             ema_decay=getattr(cfg, "ema_decay", 0.0),
         )
         vae_params = replicate(vae_params, mesh)
-    if train_dev is not None:
+    # device-resident data composes with two execution strategies: the
+    # whole epoch fused into one lax.scan (TPU fast path) or one jitted
+    # step per index row (CPU fast path) — see epoch_fuse_default().
+    epoch_fused = epoch_fuse_default()
+    if train_dev is not None and epoch_fused:
         train_epoch_fn = make_latent_epoch_fn(
+            unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda,
+            remat=getattr(cfg, "remat", False),
+            prediction_type=getattr(cfg, "prediction_type", "epsilon"),
+            loss_weighting=getattr(cfg, "loss_weighting", "uniform"),
+            snr_gamma=getattr(cfg, "snr_gamma", 5.0),
+        )
+    elif train_dev is not None:
+        train_step_idx = make_latent_train_step_indexed(
             unet, vae, schedule, cfg.cfg_drop_prob, cfg.geom_lambda,
             remat=getattr(cfg, "remat", False),
             prediction_type=getattr(cfg, "prediction_type", "epsilon"),
@@ -501,8 +519,13 @@ def train_latent_cond(cfg: LatentTrainConfig,
         )
         train_loader = PrefetchLoader(train_ds, cfg.batch_size, shuffle=True,
                                       seed=cfg.seed, device_put_fn=put)
-    if val_dev is not None:
+    if val_dev is not None and epoch_fused:
         eval_epoch_fn = make_latent_eval_epoch_fn(
+            unet, vae, schedule, cfg.geom_lambda,
+            prediction_type=getattr(cfg, "prediction_type", "epsilon"),
+        )
+    elif val_dev is not None:
+        eval_step_idx = make_latent_eval_step_indexed(
             unet, vae, schedule, cfg.geom_lambda,
             prediction_type=getattr(cfg, "prediction_type", "epsilon"),
         )
@@ -568,9 +591,22 @@ def train_latent_cond(cfg: LatentTrainConfig,
             else:
                 idx = epoch_index_matrix(len(train_ds), cfg.batch_size,
                                          np_rng)
-            state, losses = train_epoch_fn(
-                state, vae_params, train_dev, put_index_matrix(idx, mesh), sk
-            )
+            if epoch_fused:
+                state, losses = train_epoch_fn(
+                    state, vae_params, train_dev,
+                    put_index_matrix(idx, mesh), sk
+                )
+            else:
+                # same RNG stream as the fused scan: one epoch key,
+                # folded per step (the step splits it 4-way internally)
+                losses = []
+                for s_i in range(idx.shape[0]):
+                    state, m = train_step_idx(
+                        state, vae_params, train_dev,
+                        put_indices(idx[s_i], mesh),
+                        jax.random.fold_in(sk, s_i),
+                    )
+                    losses.append(m["loss"])
             timer.tick(0)
             timer.tick(idx.size)
         else:
@@ -603,9 +639,19 @@ def train_latent_cond(cfg: LatentTrainConfig,
                 rng, sk = jax.random.split(rng)
                 vidx = epoch_index_matrix(len(val_ds), cfg.batch_size,
                                           np_rng, shuffle=False)
-                vouts = jax.device_get(eval_epoch_fn(
-                    state.params, vae_params, val_dev,
-                    put_index_matrix(vidx, mesh), sk))
+                if epoch_fused:
+                    vouts = jax.device_get(eval_epoch_fn(
+                        state.params, vae_params, val_dev,
+                        put_index_matrix(vidx, mesh), sk))
+                else:
+                    rows = [eval_step_idx(
+                        state.params, vae_params, val_dev,
+                        put_indices(vidx[i], mesh),
+                        jax.random.fold_in(sk, i),
+                    ) for i in range(vidx.shape[0])]
+                    rows = jax.device_get(rows)
+                    vouts = {k: np.stack([r[k] for r in rows])
+                             for k in rows[0]}
                 val_arr = np.asarray(vouts["loss"], dtype=np.float64)
                 cls_sum = np.asarray(vouts["cls_sum"]).sum(axis=0)
                 cls_cnt = np.maximum(

@@ -247,3 +247,45 @@ def test_remat_step_matches_plain(tmp_path):
     step = make_latent_train_step(unet, vae, schedule, 0.1, 0.1, remat=True)
     state, m = step(state, vae_params, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.heavy
+def test_epoch_fused_vs_stepped_parity(tmp_path, monkeypatch):
+    """The stepped device-resident mode (CPU fast path, one jitted step
+    per index row) must train identically to the epoch-fused lax.scan
+    (TPU fast path): same RNG stream, same losses up to XLA refusion."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_model_tpu.config import DataConfig, LatentTrainConfig
+    from diffusion_model_tpu.models import VAE, VAEConfig
+    from diffusion_model_tpu.train import train_latent_cond
+
+    def run(fuse, root):
+        monkeypatch.setenv("DIFFUSION_TPU_EPOCH_FUSE", fuse)
+        cfg = LatentTrainConfig(
+            epochs=2, batch_size=8, num_timesteps=8, base_ch=8, time_dim=32,
+            vae_base_channels=8, bf16=False, val_interval=2,
+            post_train_samples=0,
+            model_para_dir=str(root / "model_para"),
+            result_root=str(root / "result"),
+            data=DataConfig(synthetic_root=str(tmp_path / "data"),
+                            synthetic_count=8, synthetic_val_count=4,
+                            image_size=(32, 32)),
+        )
+        vae = VAE(VAEConfig(base_channels=8))
+        rng = jax.random.PRNGKey(0)
+        vae_params = vae.init({"params": rng, "sample": rng},
+                              jnp.zeros((1, 32, 32, 3)))["params"]
+        monkeypatch.chdir(root)
+        return train_latent_cond(cfg, vae_params=vae_params)
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    fused = run("1", tmp_path / "a")
+    stepped = run("0", tmp_path / "b")
+    np.testing.assert_allclose(fused["train_losses"],
+                               stepped["train_losses"], rtol=2e-4)
+    np.testing.assert_allclose(fused["val_losses"], stepped["val_losses"],
+                               rtol=2e-4)
