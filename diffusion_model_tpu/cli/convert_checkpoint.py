@@ -1,5 +1,5 @@
-"""CLI: convert a reference-trained torch ``.pth`` checkpoint into the
-framework's msgpack format.
+"""CLI: convert checkpoints between the reference's torch ``.pth``
+format and the framework's msgpack format — both directions.
 
 The reference saves plain ``state_dict()`` files for the VAE
 (train_vae.py via early_stopping.py:57) and the conditional U-Net
@@ -11,13 +11,23 @@ from the keys — so reference-trained weights run on TPU directly:
     python -m diffusion_model_tpu.cli.convert_checkpoint \
         --input trained_para.pth --output trained_para.msgpack
 
-Every converted tree is validated (structure + shapes) against a freshly
-built framework model of the inferred architecture before writing; the
-inferred constructor kwargs are printed and saved next to the output as
-``<output>.arch.json`` so generation CLIs can be invoked with matching
+The reverse direction (framework msgpack → reference ``.pth``) hands
+TPU-trained weights back to torch tooling built around the reference
+classes (``load_state_dict(..., strict=True)`` compatible):
+
+    python -m diffusion_model_tpu.cli.convert_checkpoint \
+        --input model_para/trained_para.msgpack --output trained_para.pth
+
+Direction is inferred from the file extensions (``--to`` overrides).
+Imports are validated (structure + shapes) against a freshly built
+framework model of the inferred architecture before writing; exports
+are validated by round-tripping the emitted state_dict back through the
+importer and requiring leaf-identical arrays. The inferred constructor
+kwargs are printed and saved next to the output as
+``<output>.arch.json`` so downstream CLIs can be invoked with matching
 ``--base_ch``/``--time_dim``/... flags. Resumable trainer checkpoints
 that wrap the weights (``{"model": state_dict, ...}``) are unwrapped
-automatically.
+automatically on import.
 """
 from __future__ import annotations
 
@@ -30,13 +40,20 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         description="Convert reference torch checkpoints to framework msgpack"
     )
-    ap.add_argument("--input", required=True, help="torch .pth state_dict")
-    ap.add_argument("--output", required=True, help="msgpack output path")
+    ap.add_argument("--input", required=True,
+                    help="torch .pth state_dict or framework .msgpack")
+    ap.add_argument("--output", required=True,
+                    help="msgpack (import) or .pth (export) output path")
     ap.add_argument("--arch", choices=["auto", "vae", "unet"],
                     default="auto", help="override architecture detection")
+    ap.add_argument("--to", choices=["auto", "msgpack", "pth"],
+                    default="auto",
+                    help="conversion direction; auto infers from the "
+                         "input/output file extensions")
     ap.add_argument("--no_validate", action="store_true",
-                    help="skip the structure/shape validation against a "
-                         "freshly built framework model")
+                    help="skip validation (import: structure/shape check "
+                         "against a fresh framework model; export: "
+                         "leaf-identical round-trip through the importer)")
     return ap
 
 
@@ -127,8 +144,82 @@ def _assert_same_shapes(init, tree) -> None:
                  f"{[(k, a[k], b[k]) for k in diff[:6]]}")
 
 
+def _flat(d, pre=""):
+    out = {}
+    for k, v in d.items():
+        if hasattr(v, "shape"):
+            out[pre + k] = v
+        else:
+            out.update(_flat(v, pre + k + "/"))
+    return out
+
+
+def _export(args) -> None:
+    """framework msgpack → reference .pth state_dict."""
+    import numpy as np
+    from flax import serialization
+
+    from ..tools import torch_export as tx
+    from ..tools import torch_import as ti
+
+    try:
+        import torch
+    except ImportError:  # pragma: no cover - torch is in the base image
+        sys.exit("torch is required to write .pth checkpoints")
+
+    with open(args.input, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    if not isinstance(tree, dict):
+        sys.exit(f"{args.input} does not hold a parameter pytree")
+    if "params" in tree and isinstance(tree["params"], dict):
+        tree = tree["params"]  # full-state artifacts wrap the weights
+
+    kind = tx.detect_tree_arch(tree) if args.arch == "auto" else args.arch
+    if kind == "vae":
+        sd = tx.export_vae_params(tree)
+        enc0 = sd["enc.0.weight"]
+        mu = sd["to_mu.weight"]
+        arch = {"in_channels": int(enc0.shape[1]),
+                "base_channels": int(enc0.shape[0]),
+                "z_channels": int(mu.shape[0])}
+    else:
+        sd = tx.export_unet_params(tree)
+        arch = tx.infer_unet_arch_from_tree(tree)
+    if not args.no_validate:
+        # round-trip through the (parity-pinned) importer must reproduce
+        # the source tree leaf-for-leaf
+        conv = (ti.convert_vae_state_dict if kind == "vae"
+                else ti.convert_unet_state_dict)
+        back, _ = conv(dict(sd))
+        a, b = _flat(tree), _flat(back)
+        if set(a) != set(b):
+            sys.exit(f"export round-trip changed the tree structure: "
+                     f"{sorted(set(a) ^ set(b))[:6]}")
+        for k in a:
+            if not np.array_equal(np.asarray(a[k], np.float32),
+                                  np.asarray(b[k], np.float32)):
+                sys.exit(f"export round-trip mismatch at leaf {k}")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, args.output)
+    meta = {"kind": kind, **arch}
+    with open(args.output + ".arch.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"[OK] {kind} checkpoint exported -> {args.output}")
+    print(json.dumps(meta))
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    direction = args.to
+    if direction == "auto":
+        if args.input.endswith(".msgpack") or args.output.endswith(".pth"):
+            direction = "pth"
+        else:
+            direction = "msgpack"
+    if direction == "pth":
+        _export(args)
+        return
+
     from ..tools.torch_import import (convert_unet_state_dict,
                                       convert_vae_state_dict, detect_arch)
     from ..train.checkpoints import save_params
