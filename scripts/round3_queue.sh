@@ -43,8 +43,20 @@ run lambda_sweep quality_r2/lambda_sweep/lambda_01/summary.json \
 # --- 2. framework side of the 96px cross-stack parity at the torch
 #        reference's exact lr (1e-4; the scout used the fw default 2e-4).
 #        Same rendered data + same stage-1 VAE checkpoint as the scout.
-#        flock: a CPU-fallback run of this same leg may own the root during
-#        a long tunnel outage — skip here (flock -n) and let it finish.
+#        If a CPU-fallback leg of this run is still alive (launched during
+#        a tunnel outage), the chip does it ~30x faster: stop the CPU leg
+#        by its exact recorded PIDs (verify the cmdline first — never
+#        pattern-kill) and take over. Training resumes from the shared
+#        Orbax checkpoint, so CPU epochs are not wasted.
+if [ ! -e parity96lr1_fw/quality_summary.json ] && [ -f /tmp/parity96lr1_cpu.pid ]; then
+  for p in $(cat /tmp/parity96lr1_cpu.pid); do
+    if ps -o cmd= -p "$p" 2>/dev/null | grep -q "quality_run.py --root parity96lr1_fw\|timeout 36000 python scripts/quality_run.py"; then
+      echo "[$(stamp)] stopping CPU-fallback leg pid $p (TPU takes over)"
+      kill "$p" 2>/dev/null
+    fi
+  done
+  sleep 5
+fi
 run parity96lr1 parity96lr1_fw/quality_summary.json \
   flock -n /tmp/parity96lr1.lock \
   python scripts/quality_run.py --root parity96lr1_fw --image_size 96 \
