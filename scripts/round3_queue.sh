@@ -68,7 +68,18 @@ run parity96lr1 parity96lr1_fw/quality_summary.json \
 # --- 2b. min-SNR-γ A/B at the identical 96px budget/data/VAE: the uniform
 #         side is parity96s_fw (lr 2e-4, gauss_recall 0.37/0.42/0.51); this
 #         leg changes ONLY the loss weighting. ~25 min chip time.
+#         Same CPU-fallback takeover protocol as stage 2.
+if [ ! -e parity96minsnr_fw/quality_summary.json ] && [ -f /tmp/parity96minsnr_cpu.pid ]; then
+  for p in $(cat /tmp/parity96minsnr_cpu.pid); do
+    if ps -o cmd= -p "$p" 2>/dev/null | grep -q "quality_run.py --root parity96minsnr_fw\|timeout 36000 python scripts/quality_run.py"; then
+      echo "[$(stamp)] stopping CPU-fallback minsnr leg pid $p (TPU takes over)"
+      kill "$p" 2>/dev/null
+    fi
+  done
+  sleep 5
+fi
 run parity96minsnr parity96minsnr_fw/quality_summary.json \
+  flock -n /tmp/parity96minsnr.lock \
   python scripts/quality_run.py --root parity96minsnr_fw --image_size 96 \
     --train_count 1000 --val_count 64 --test_count 64 --vae_epochs 20 \
     --latent_epochs 200 --latent_bs 32 --latent_lr 2e-4 --gen_count 64 \
