@@ -270,6 +270,50 @@ def _probe_device_or_die(timeout_s: int = 300) -> None:
         sys.exit(2)
 
 
+def _write_local_evidence(result: dict) -> None:
+    """Persist every successful bench run to BENCH_LOCAL.json (VERDICT r3 #6).
+
+    Round 3's headline was driver-unverified because the axon tunnel was
+    down at bench time (BENCH_r03.json: rc=2, parsed=null). This appends a
+    machine-captured record — timestamp, env fingerprint, device kind,
+    libtpu/jax versions, the full parsed metrics, and the env overrides in
+    effect — so a tunnel-down driver round can still point at verifiable
+    on-machine evidence. Append-keyed by UTC timestamp; file is a JSON list.
+    """
+    import datetime
+    try:
+        devs = jax.devices()
+        fingerprint = {
+            "ts_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"),
+            "jax": jax.__version__,
+            "device_kind": devs[0].device_kind if devs else "none",
+            "platform": devs[0].platform if devs else "none",
+            "n_devices": len(devs),
+            "env": {k: v for k, v in os.environ.items()
+                    if k.startswith(("BENCH_", "DIFFUSION_TPU_", "XLA_FLAGS"))},
+            "result": result,
+        }
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+        history = []
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    history = json.load(f)
+                if not isinstance(history, list):
+                    history = [history]
+            except Exception:
+                history = []
+        history.append(fingerprint)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(history[-50:], f, indent=1)
+        os.replace(tmp, path)
+    except Exception as e:  # evidence write must never fail the bench
+        print(f"bench: BENCH_LOCAL.json write skipped ({e})", flush=True)
+
+
 def main():
     _probe_device_or_die()
     batch = int(os.environ.get("BENCH_BATCH", "64"))
@@ -324,7 +368,7 @@ def main():
             for b in (64, 256)
         ]
 
-    print(json.dumps({
+    result = {
         "metric": "cond_gen_images_per_sec",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
@@ -345,7 +389,9 @@ def main():
         "tflops_per_sec": round(tflops, 2),
         "analytic_tflops_per_run": round(run_flops(batch) / 1e12, 2),
         **extras,
-    }))
+    }
+    _write_local_evidence(result)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

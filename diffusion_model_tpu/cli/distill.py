@@ -37,7 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="trained stage-2 teacher (trained_para*.msgpack)")
     ap.add_argument("--vae_ckpt", type=str, required=True)
     ap.add_argument("--teacher_prediction_type", choices=["epsilon", "v"],
-                    default="epsilon")
+                    default=None,
+                    help="default = the teacher checkpoint's .arch.json "
+                         "sidecar record, falling back to epsilon")
     ap.add_argument("--guidance", type=float, default=3.0,
                     help="CFG weight folded into the first student")
     ap.add_argument("--start_steps", type=int, default=256)
@@ -45,7 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--steps_per_stage", type=int, default=2000)
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--lr", type=float, default=1e-4)
-    ap.add_argument("--num_timesteps", type=int, default=1000)
+    ap.add_argument("--num_timesteps", type=int, default=0,
+                    help="0 = from teacher checkpoint sidecar, else 1000")
+    ap.add_argument("--schedule", choices=["linear", "cosine"], default=None,
+                    help="teacher's beta schedule; default = the teacher "
+                         "checkpoint's .arch.json sidecar, else linear")
     ap.add_argument("--z_channels", type=int, default=4)
     ap.add_argument("--geom_dim", type=int, default=12)
     ap.add_argument("--base_ch", type=int, default=64)
@@ -101,7 +107,13 @@ def main(argv=None) -> None:
           f"stages {args.start_steps} -> {args.min_steps} "
           f"({args.steps_per_stage} steps each, guidance {args.guidance})")
 
-    schedule = DiffusionSchedule.create(args.num_timesteps)
+    # flag > teacher's .arch.json sidecar > reference defaults (a teacher
+    # trained on cosine betas must be distilled on the same ᾱ table)
+    from .generate_cond import _arch_sidecar
+    ua = _arch_sidecar(args.unet_ckpt)
+    schedule = DiffusionSchedule.create(
+        args.num_timesteps or ua.get("num_timesteps", 1000),
+        kind=args.schedule or ua.get("schedule_kind", "linear"))
     os.makedirs(args.out_dir, exist_ok=True)
 
     def on_stage(S, params, log):
@@ -115,7 +127,8 @@ def main(argv=None) -> None:
         start_steps=args.start_steps, min_steps=args.min_steps,
         steps_per_stage=args.steps_per_stage, batch_size=args.batch_size,
         lr=args.lr, guidance_w=args.guidance,
-        teacher_prediction_type=args.teacher_prediction_type,
+        teacher_prediction_type=(args.teacher_prediction_type
+                                 or ua.get("prediction_type", "epsilon")),
         seed=args.seed, on_stage_done=on_stage,
     )
     path = os.path.join(args.out_dir, "distilled_final.msgpack")

@@ -59,12 +59,22 @@ def build_pipeline_from_args(args) -> DiffusionPipeline:
         dtype=dt,
     ))
     ih, iw = args.image_size
+    # Sampling-critical settings: explicit flag > checkpoint sidecar >
+    # reference default. The trainer records schedule_kind/num_timesteps/
+    # prediction_type in <ckpt>.arch.json (ADVICE r3: a cosine-trained
+    # checkpoint sampled with linear betas silently degrades).
+    schedule_kind = (getattr(args, "schedule", None)
+                     or ua.get("schedule_kind", "linear"))
+    num_timesteps = (getattr(args, "num_timesteps", 0)
+                     or ua.get("num_timesteps", 1000))
+    prediction_type = (getattr(args, "prediction_type", None)
+                       or ua.get("prediction_type", "epsilon"))
     pipe = DiffusionPipeline.from_checkpoints(
         args.unet_ckpt, args.vae_ckpt, unet, vae,
-        schedule=DiffusionSchedule.create(args.num_timesteps),
+        schedule=DiffusionSchedule.create(num_timesteps, kind=schedule_kind),
         latent_hw=(ih // 8, iw // 8), image_hw=(ih, iw),
     )
-    pipe.prediction_type = getattr(args, "prediction_type", "epsilon")
+    pipe.prediction_type = prediction_type
     return pipe
 
 
@@ -77,7 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--arc_csv", type=str, default=None)
     ap.add_argument("--image_count", type=int, default=500)
     ap.add_argument("--guidance_scale", type=float, default=3.0)
-    ap.add_argument("--num_timesteps", type=int, default=1000)
+    ap.add_argument("--num_timesteps", type=int, default=0,
+                    help="0 = from checkpoint sidecar, else 1000")
+    ap.add_argument("--schedule", choices=["linear", "cosine"], default=None,
+                    help="beta schedule; default = the checkpoint's "
+                         ".arch.json sidecar (written by the trainer), "
+                         "falling back to linear (reference)")
     ap.add_argument("--out_dir", type=str, default="./generated_by_cond")
     ap.add_argument("--run_name", type=str, default=None)
     ap.add_argument("--batch_size", type=int, default=0,
@@ -93,8 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no_bf16", action="store_true")
     ap.add_argument("--prediction_type", choices=["epsilon", "v"],
-                    default="epsilon",
-                    help="what the checkpoint predicts (match training)")
+                    default=None,
+                    help="what the checkpoint predicts; default = the "
+                         "sidecar's record, falling back to epsilon")
     ap.add_argument("--sampler",
                     choices=["ddpm", "ddim", "dpmpp", "ddpm_cached"],
                     default="ddpm",

@@ -49,7 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--row_index", type=int, default=0)
     ap.add_argument("--class_id", type=int, required=True,
                     help="1=line 2=circle 3=arc")
-    ap.add_argument("--num_timesteps", type=int, default=1000)
+    ap.add_argument("--num_timesteps", type=int, default=0,
+                    help="0 = from checkpoint sidecar, else 1000")
+    ap.add_argument("--schedule", choices=["linear", "cosine"], default=None,
+                    help="beta schedule; default = the checkpoint's "
+                         ".arch.json sidecar, falling back to linear")
+    ap.add_argument("--prediction_type", choices=["epsilon", "v"],
+                    default=None,
+                    help="what the checkpoint predicts; default = the "
+                         "sidecar's record, falling back to epsilon")
     ap.add_argument("--guidance_scale", type=float, default=3.0)
     ap.add_argument("--save_every", type=int, default=None,
                     help="e.g. 50 -> 1000,950,...,50,1")
@@ -71,7 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    T = args.num_timesteps
+    pipe = build_pipeline_from_args(args)
+    T = pipe.schedule.num_timesteps  # flag > sidecar > 1000 (see builder)
 
     if args.save_steps:
         steps = sorted({int(s) for s in args.save_steps}, reverse=True)
@@ -91,7 +100,6 @@ def main(argv=None) -> None:
     os.makedirs(pixel_dir, exist_ok=True)
     os.makedirs(latent_dir, exist_ok=True)
 
-    pipe = build_pipeline_from_args(args)
     sampler = CsvConditionSampler(
         pipe, class_id=args.class_id, base_wh=tuple(args.base_wh),
         image_hw=tuple(args.image_size),

@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--size", type=int, nargs=2, default=(32, 32))
     ap.add_argument("--channels", type=int, default=3)
     ap.add_argument("--num_timesteps", type=int, default=1000)
+    ap.add_argument("--schedule", choices=["linear", "cosine"],
+                    default="linear",
+                    help="beta schedule; must match training")
     ap.add_argument("--out_dir", type=str, default="./generate_pic")
     ap.add_argument("--base_ch", type=int, default=64)
     ap.add_argument("--time_dim", type=int, default=256)
@@ -50,7 +53,8 @@ def main(argv=None) -> None:
     params = load_params(args.unet_ckpt, target)
     pipe = DiffusionPipeline(
         unet=unet, unet_params=params, vae=None, vae_params=None,
-        schedule=DiffusionSchedule.create(args.num_timesteps),
+        schedule=DiffusionSchedule.create(args.num_timesteps,
+                                          kind=args.schedule),
     )
     image_dir = os.path.join(args.out_dir, "generated_pic")
     os.makedirs(image_dir, exist_ok=True)

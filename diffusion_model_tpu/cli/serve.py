@@ -4,6 +4,10 @@ the single-shot reference scripts lack).
 
 Endpoints:
   GET  /healthz              → {"status": "ok", "backend": ...}
+  GET  /metrics              → JSON: request/response counters, queue depth,
+       batch-coalescing stats (launches, rows, mean batch), per-request
+       timeout/overflow counts, and the pipeline's compiled-program cache
+       keys (what shapes/samplers are warm)
   POST /generate             → JSON body:
        {"class_id": 1|2|3, "count": N (≤ max_batch),
         "cond": {key: val, ...} | [[12 floats] ...] | null,
@@ -17,6 +21,13 @@ Endpoints:
 
 The first request per (batch, sampler, guidance) combination compiles; the
 server optionally pre-warms the default shape at startup (--warm).
+
+Overload behavior (production-honest limits): at most ``--max_pending``
+request rows may be queued/in flight at once — beyond that /generate
+returns **429** immediately instead of growing an unbounded queue; a
+request that cannot finish within ``--request_timeout_s`` returns **504**
+(the device launch it may be part of still completes and stays warm for
+the next request; one chip cannot cancel a dispatched program mid-scan).
 
 Dynamic batching (``--batch_window_ms``): with N concurrent clients the
 naive path runs N padded max_batch programs back-to-back — N scans for
@@ -38,6 +49,7 @@ import json
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -50,7 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--vae_ckpt", type=str, required=True)
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8500)
-    ap.add_argument("--num_timesteps", type=int, default=1000)
+    ap.add_argument("--num_timesteps", type=int, default=0,
+                    help="0 = from checkpoint sidecar, else 1000")
+    ap.add_argument("--schedule", choices=["linear", "cosine"], default=None,
+                    help="beta schedule; default = the checkpoint's "
+                         ".arch.json sidecar, falling back to linear")
     ap.add_argument("--max_batch", type=int, default=64)
     ap.add_argument("--base_ch", type=int, default=64)
     ap.add_argument("--time_dim", type=int, default=256)
@@ -60,8 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--image_size", type=int, nargs=2, default=(224, 224))
     ap.add_argument("--no_bf16", action="store_true")
     ap.add_argument("--prediction_type", choices=["epsilon", "v"],
-                    default="epsilon",
-                    help="what the checkpoint predicts (match training)")
+                    default=None,
+                    help="what the checkpoint predicts; default = the "
+                         "sidecar's record, falling back to epsilon")
     ap.add_argument("--warm", action="store_true",
                     help="compile the default DDPM shape at startup")
     ap.add_argument("--default_sampler",
@@ -72,7 +89,98 @@ def build_parser() -> argparse.ArgumentParser:
                     help="dynamic batching: hold a request up to this long "
                          "and coalesce same-signature requests into one "
                          "device launch (0 = off)")
+    ap.add_argument("--max_pending", type=int, default=256,
+                    help="admission bound: max request ROWS queued or in "
+                         "flight at once; beyond it /generate returns 429")
+    ap.add_argument("--request_timeout_s", type=float, default=300.0,
+                    help="per-request deadline; a request that cannot "
+                         "finish in time returns 504")
     return ap
+
+
+class QueueFullError(Exception):
+    """Admission bound hit — surfaces as HTTP 429."""
+
+
+class ServerStats:
+    """Thread-safe counters behind /metrics.
+
+    Everything is monotonically increasing except ``pending_rows`` (a
+    gauge owned by the admission gate). Coalescing quality is derivable:
+    mean batched rows per device launch = batched_rows / launches.
+    ``requests_total`` counts /generate POSTs only; ``responses`` counts
+    every endpoint's replies (so /healthz and /metrics GETs land in 2xx).
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.responses = {"2xx": 0, "4xx": 0, "429": 0, "504": 0, "5xx": 0}
+        self.launches = 0
+        self.batched_rows = 0
+        self.pending_rows = 0
+        self.busy_seconds = 0.0
+
+    def count_response(self, code: int) -> None:
+        with self._lock:
+            if code == 429:
+                self.responses["429"] += 1
+            elif code == 504:
+                self.responses["504"] += 1
+            elif 200 <= code < 300:
+                self.responses["2xx"] += 1
+            elif 400 <= code < 500:
+                self.responses["4xx"] += 1
+            else:
+                self.responses["5xx"] += 1
+
+    def count_request(self) -> None:
+        with self._lock:
+            self.requests_total += 1
+
+    def count_launch(self, rows: int, elapsed_s: float) -> None:
+        with self._lock:
+            self.launches += 1
+            self.batched_rows += rows
+            self.busy_seconds += elapsed_s
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            d = {k: (dict(v) if isinstance(v, dict) else v)
+                 for k, v in self.__dict__.items() if not k.startswith("_")}
+        d["mean_rows_per_launch"] = (
+            round(d["batched_rows"] / d["launches"], 3)
+            if d["launches"] else None)
+        return d
+
+
+class AdmissionGate:
+    """Bounded row-count admission (429 past the bound).
+
+    Counts request ROWS (images), not requests — 64 one-image requests
+    and one 64-image request load the chip identically. Non-blocking by
+    design: production back-pressure should reach the client immediately,
+    not stack up in the HTTP thread pool.
+    """
+
+    def __init__(self, max_rows: int, stats: ServerStats):
+        self.max_rows = max_rows
+        self._stats = stats
+        self._lock = threading.Lock()
+        self._rows = 0
+
+    def try_enter(self, rows: int) -> bool:
+        with self._lock:
+            if self._rows + rows > self.max_rows:
+                return False
+            self._rows += rows
+            self._stats.pending_rows = self._rows
+            return True
+
+    def leave(self, rows: int) -> None:
+        with self._lock:
+            self._rows -= rows
+            self._stats.pending_rows = self._rows
 
 
 class _Pending:
@@ -99,16 +207,17 @@ class DynamicBatcher:
     sampler is a different compiled program).
     """
 
-    def __init__(self, pipeline, image_hw, max_batch, window_s):
+    def __init__(self, pipeline, image_hw, max_batch, window_s, stats=None):
         self.pipeline = pipeline
         self.image_hw = image_hw
         self.max_batch = max_batch
         self.window_s = window_s
+        self.stats = stats
         self._items = []
         self._cv = threading.Condition()
         threading.Thread(target=self._loop, daemon=True).start()
 
-    def submit(self, sig, class_id, count, cond, seed) -> Future:
+    def submit(self, sig, class_id, count, cond, seed) -> _Pending:
         from ..data import geometry as G
 
         # normalize the request's cond to concrete (count, 12) arrays NOW
@@ -120,7 +229,20 @@ class DynamicBatcher:
         with self._cv:
             self._items.append(p)
             self._cv.notify()
-        return p.future
+        return p
+
+    def abandon(self, p: _Pending) -> bool:
+        """Drop a timed-out request if it has not been launched yet.
+
+        Returns True when the pending item was still queued (its rows never
+        reached the device); False when a launch already owns it — the
+        launch completes and the result is discarded by the caller."""
+        with self._cv:
+            try:
+                self._items.remove(p)
+                return True
+            except ValueError:
+                return False
 
     def _loop(self):
         while True:
@@ -149,6 +271,7 @@ class DynamicBatcher:
         key = jax.random.PRNGKey(batch[0].seed)
         for p in batch[1:]:
             key = jax.random.fold_in(key, p.seed)
+        tic = time.time()
         try:
             images = self.pipeline.sample_latent_cond(
                 class_counts, cond=vals, cond_mask=mask,
@@ -157,6 +280,9 @@ class DynamicBatcher:
                 cache_interval=cache_interval, timestep_spacing=spacing,
                 batch_size=self.max_batch, remainder="pad",
             )
+            if self.stats is not None:
+                self.stats.count_launch(sum(p.count for p in batch),
+                                        time.time() - tic)
             ofs = 0
             for p in batch:
                 p.future.set_result(
@@ -168,9 +294,21 @@ class DynamicBatcher:
 
 
 def make_handler(pipeline, image_hw, max_batch, default_sampler,
-                 batcher=None):
+                 batcher=None, stats=None, max_pending=256,
+                 request_timeout_s=300.0):
+    stats = stats or ServerStats()
+    if batcher is not None and batcher.stats is None:
+        batcher.stats = stats  # one stats object per serving process
+    gate = AdmissionGate(max_pending, stats)
+    # The non-batched path runs device launches on ONE worker thread (one
+    # chip — concurrency only adds dispatch contention) so the HTTP thread
+    # can wait with a deadline instead of blocking uncancellably.
+    from concurrent.futures import ThreadPoolExecutor
+    serial = ThreadPoolExecutor(max_workers=1) if batcher is None else None
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
+            stats.count_response(code)
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -186,6 +324,17 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler,
                 self._send(200, {"status": "ok",
                                  "backend": jax.default_backend(),
                                  "max_batch": max_batch})
+            elif self.path == "/metrics":
+                snap = stats.snapshot()
+                snap["max_pending_rows"] = max_pending
+                snap["request_timeout_s"] = request_timeout_s
+                snap["dynamic_batching"] = batcher is not None
+                # what programs are warm: every compiled (guidance, decode,
+                # snapshots, method, steps, ...) signature in the pipeline's
+                # jit cache — the ops surface of this serving process
+                snap["compiled_programs"] = [
+                    repr(k) for k in getattr(pipeline, "_compiled", {})]
+                self._send(200, snap)
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -193,6 +342,7 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler,
             if self.path != "/generate":
                 self._send(404, {"error": "unknown path"})
                 return
+            stats.count_request()
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
@@ -223,32 +373,63 @@ def make_handler(pipeline, image_hw, max_batch, default_sampler,
                         "'trailing' or 'karras'")
                 tic = time.time()
                 batched_with = None
-                if batcher is not None:
-                    sig = (float(req.get("guidance_scale", 3.0)), sampler,
-                           int(req.get("num_inference_steps", 50)),
-                           int(req.get("cache_interval", 2)), spacing)
-                    fut = batcher.submit(sig, class_id, count, cond,
-                                         int(req.get("seed", 0)))
-                    images, batched_with = fut.result()
-                else:
-                    # Static-shape bucketing: every request runs the warmed
-                    # max_batch program (short requests padded, padding
-                    # discarded) — one compilation serves all counts instead
-                    # of one multi-minute compile per distinct count.
-                    images = pipeline.sample_latent_cond(
-                        (class_id, count),
-                        cond=cond,
-                        guidance_scale=float(req.get("guidance_scale", 3.0)),
-                        key=jax.random.PRNGKey(int(req.get("seed", 0))),
-                        image_hw=image_hw,
-                        method=sampler,
-                        num_inference_steps=int(
-                            req.get("num_inference_steps", 50)),
-                        cache_interval=int(req.get("cache_interval", 2)),
-                        timestep_spacing=spacing,
-                        batch_size=max_batch,
-                        remainder="pad",
-                    )
+                if not gate.try_enter(count):
+                    self._send(429, {
+                        "error": f"server at capacity "
+                                 f"({max_pending} pending rows); retry",
+                        "retry_after_s": 1.0})
+                    return
+                try:
+                    if batcher is not None:
+                        sig = (float(req.get("guidance_scale", 3.0)),
+                               sampler,
+                               int(req.get("num_inference_steps", 50)),
+                               int(req.get("cache_interval", 2)), spacing)
+                        pend = batcher.submit(sig, class_id, count, cond,
+                                              int(req.get("seed", 0)))
+                        try:
+                            images, batched_with = pend.future.result(
+                                timeout=request_timeout_s)
+                        except FuturesTimeout:
+                            batcher.abandon(pend)
+                            self._send(504, {
+                                "error": f"request exceeded "
+                                         f"{request_timeout_s}s deadline"})
+                            return
+                    else:
+                        # Static-shape bucketing: every request runs the
+                        # warmed max_batch program (short requests padded,
+                        # padding discarded) — one compilation serves all
+                        # counts instead of one multi-minute compile per
+                        # distinct count. One worker thread owns the device;
+                        # the HTTP thread waits with a deadline.
+                        fut = serial.submit(
+                            pipeline.sample_latent_cond,
+                            (class_id, count),
+                            cond=cond,
+                            guidance_scale=float(
+                                req.get("guidance_scale", 3.0)),
+                            key=jax.random.PRNGKey(int(req.get("seed", 0))),
+                            image_hw=image_hw,
+                            method=sampler,
+                            num_inference_steps=int(
+                                req.get("num_inference_steps", 50)),
+                            cache_interval=int(req.get("cache_interval", 2)),
+                            timestep_spacing=spacing,
+                            batch_size=max_batch,
+                            remainder="pad",
+                        )
+                        try:
+                            images = fut.result(timeout=request_timeout_s)
+                        except FuturesTimeout:
+                            fut.cancel()  # drop it if still queued
+                            self._send(504, {
+                                "error": f"request exceeded "
+                                         f"{request_timeout_s}s deadline"})
+                            return
+                        stats.count_launch(count, time.time() - tic)
+                finally:
+                    gate.leave(count)
                 out = []
                 for img in images:
                     buf = io.BytesIO()
@@ -280,14 +461,17 @@ def main(argv=None) -> None:
             method=args.default_sampler, to_pil=False,
             num_inference_steps=50, cache_interval=2,
         )
+    stats = ServerStats()
     batcher = None
     if args.batch_window_ms > 0:
         batcher = DynamicBatcher(pipeline, image_hw, args.max_batch,
-                                 args.batch_window_ms / 1000.0)
+                                 args.batch_window_ms / 1000.0, stats=stats)
     server = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(pipeline, image_hw, args.max_batch,
-                     args.default_sampler, batcher=batcher),
+                     args.default_sampler, batcher=batcher, stats=stats,
+                     max_pending=args.max_pending,
+                     request_timeout_s=args.request_timeout_s),
     )
     print(f"serving on http://{args.host}:{args.port} "
           f"(backend={jax.default_backend()})")

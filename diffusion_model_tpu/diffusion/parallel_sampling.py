@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .schedule import DiffusionSchedule
-from .sampling import EpsFn, _ddim_timesteps_np, cfg_eps
+from .sampling import EpsFn, cfg_eps, sampler_timesteps_np
 
 
 def sample_loop_ddim_parallel(
@@ -57,6 +57,7 @@ def sample_loop_ddim_parallel(
     null_label: int = 0,
     mesh: Optional[jax.sharding.Mesh] = None,
     shard_axis: str = "data",
+    timestep_spacing: str = "linear",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Deterministic DDIM over ``num_inference_steps``, solved by
     sliding-window Picard sweeps of ``window`` positions at a time.
@@ -77,7 +78,8 @@ def sample_loop_ddim_parallel(
         y = jnp.full((B,), null_label, dtype=jnp.int32)
         guidance_scale = 0.0
 
-    ts_np = _ddim_timesteps_np(schedule.num_timesteps, num_inference_steps)
+    ts_np = sampler_timesteps_np(schedule, num_inference_steps,
+                                 timestep_spacing)
     S = int(ts_np.shape[0])
     W = int(min(window, S))
     dt = x_init.dtype

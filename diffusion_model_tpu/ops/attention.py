@@ -424,9 +424,41 @@ def attention_block(
     (sa5, T=196/C=64: 0.34 vs 0.51 ms) where the kernel's full-width
     masked-head matmuls do num_heads× redundant lane work. Rule: Pallas
     iff T ≥ 256 or C ≥ 128."""
+    if os.environ.get("DIFFUSION_TPU_ATTN_SCORE_PROBE", "0") == "1":
+        _probe_score_max(x, params, num_heads)
     if use_pallas is None:
         T, C = x.shape[1], x.shape[2]
         use_pallas = pallas_supported() and (T >= 256 or C >= 128)
     if use_pallas:
         return attention_block_pallas(x, params, num_heads)
     return attention_block_reference(x, params, num_heads=num_heads)
+
+
+# --- score-magnitude probe (certification tooling, not a compute path) ---
+# The bf16 kernel elides softmax max-subtraction with a clip at ±80
+# (see _block_body_batched): any logit beyond the clip is silently
+# flattened, so the optimization is only exact while checkpoints keep
+# max |score| well below 80. DIFFUSION_TPU_ATTN_SCORE_PROBE=1 makes every
+# attention_block call additionally compute its exact f32 max |scaled
+# score| and stream it to SCORE_PROBE_MAX via jax.debug.callback (works
+# inside jitted scans). scripts/attn_bf16_cert.py runs a probe generation
+# and records/asserts the observed maximum in the certification artifact.
+SCORE_PROBE_MAX: list = []
+
+
+def _probe_score_max(x, p, num_heads: int) -> None:
+    xf = x.astype(jnp.float32)
+    xn = _layer_norm(xf, p["ln_scale"], p["ln_bias"])
+    qkv = jnp.dot(xn, p["qkv_w"].astype(jnp.float32)) + p["qkv_b"].astype(
+        jnp.float32)
+    q, k, _ = jnp.split(qkv, 3, axis=-1)
+    C = x.shape[-1]
+    dh = C // num_heads
+    inv_sqrt_dh = 1.0 / float(dh) ** 0.5
+    m = jnp.float32(-jnp.inf)
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jnp.einsum("...td,...sd->...ts", q[..., sl], k[..., sl],
+                       preferred_element_type=jnp.float32) * inv_sqrt_dh
+        m = jnp.maximum(m, jnp.max(jnp.abs(s)))
+    jax.debug.callback(lambda v: SCORE_PROBE_MAX.append(float(v)), m)

@@ -225,6 +225,7 @@ class DiffusionPipeline:
                     y=y, cond_vals=vals, cond_mask=mask,
                     guidance_scale=guidance_scale,
                     mesh=self._mesh, shard_axis="data",
+                    timestep_spacing=timestep_spacing,
                 )
                 snaps = None
             elif method == "dpmpp":

@@ -253,7 +253,7 @@ def make_latent_eval_step_indexed(
         loss_geom = masked_geom_mse(geom_pred, vals_b, mask_b)
         # same extras as the fused eval scan body so the stepped (CPU)
         # mode reports identical metrics.jsonl fields
-        cls_sum, cls_cnt = per_class_noise_loss(eps_pred, noise, y_b)
+        cls_sum, cls_cnt = per_class_noise_loss(eps_pred, target, y_b)
         return {"loss": loss_noise + geom_lambda * loss_geom,
                 "loss_noise": loss_noise, "loss_geom": loss_geom,
                 "geom_mae": masked_geom_mae(geom_pred, vals_b, mask_b),
@@ -359,7 +359,7 @@ def make_latent_eval_epoch_fn(
             loss = jnp.mean(jnp.square(eps_pred - target)) + (
                 geom_lambda * masked_geom_mse(geom_pred, vals_b, mask_b)
             )
-            cls_sum, cls_cnt = per_class_noise_loss(eps_pred, noise, y_b)
+            cls_sum, cls_cnt = per_class_noise_loss(eps_pred, target, y_b)
             out = {
                 "loss": loss,
                 "geom_mae": masked_geom_mae(geom_pred, vals_b, mask_b),
@@ -428,6 +428,33 @@ def _resolve_datasets(cfg: LatentTrainConfig):
         cache_images=data.cache_images,
     )
     return mk(train_items), mk(val_items)
+
+
+def _write_arch_sidecars(cfg: LatentTrainConfig, ckpt_paths) -> None:
+    """Write ``<ckpt>.arch.json`` for every checkpoint path this run will
+    produce, recording the model shape AND the sampling-critical training
+    choices (schedule_kind / num_timesteps / prediction_type). The inference
+    CLIs (generate_cond/generate_steps/serve/distill) read the sidecar and
+    default to it, so a cosine- or v-trained checkpoint is sampled with the
+    matching ᾱ table and parameterization without manual flags (same key
+    names as cli/convert_checkpoint.py's imported-torch sidecars)."""
+    import json as _json
+
+    meta = {
+        "kind": "unet",
+        "in_ch": cfg.z_channels,
+        "time_dim": cfg.time_dim,
+        "num_classes": 3,
+        "geom_dim": cfg.geom_dim,
+        "with_geom_head": True,
+        "base_ch": cfg.base_ch,
+        "schedule_kind": getattr(cfg, "schedule_kind", "linear"),
+        "num_timesteps": cfg.num_timesteps,
+        "prediction_type": getattr(cfg, "prediction_type", "epsilon"),
+    }
+    for p in ckpt_paths:
+        with open(p + ".arch.json", "w") as f:
+            _json.dump(meta, f, indent=2)
 
 
 def train_latent_cond(cfg: LatentTrainConfig,
@@ -540,6 +567,10 @@ def train_latent_cond(cfg: LatentTrainConfig,
     rolling_path = os.path.join(cfg.model_para_dir, "trained_para.msgpack")
     ema_on = getattr(cfg, "ema_decay", 0.0) > 0.0
     ema_path = os.path.join(cfg.model_para_dir, "trained_para_ema.msgpack")
+    # Sampling-critical training metadata next to every checkpoint this run
+    # writes (ADVICE r3: a cosine-trained checkpoint sampled with the linear
+    # ᾱ table silently degrades — inference CLIs auto-apply this sidecar).
+    _write_arch_sidecars(cfg, [rolling_path] + ([ema_path] if ema_on else []))
     metrics = MetricsLogger(os.path.join(cfg.model_para_dir, "metrics.jsonl"))
 
     # optional Orbax resume (full state; the reference cannot resume at all)

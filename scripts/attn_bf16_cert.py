@@ -68,6 +68,41 @@ def main():
 
     log = {"config": vars(args), "vae_ckpt": vae_ckpt,
            "attn_bf16_scores": True}
+
+    # |score| <= 80 assumption check (ADVICE r3): the bf16 kernel's
+    # max-subtraction elision clips logits at ±80; verify this checkpoint's
+    # actual score range with the exact-f32 probe over a short DDPM run
+    # (every attention call in every step reports its max |scaled score|).
+    from diffusion_model_tpu.ops import attention as _attn
+
+    os.environ["DIFFUSION_TPU_ATTN_SCORE_PROBE"] = "1"
+    probe_pipe = DiffusionPipeline.from_checkpoints(
+        unet_ckpt=args.ckpt, vae_ckpt=vae_ckpt, unet=unet, vae=vae,
+        schedule=DiffusionSchedule.create(1000),
+        latent_hw=(hw[0] // 8, hw[1] // 8), image_hw=hw,
+    )
+    probe_sampler = CsvConditionSampler(probe_pipe, class_id=1, image_hw=hw)
+    d1 = f"./data/line_{sfx}_test"
+    probe_sampler.sample(f"{d1}/line_{sfx}_test.csv", count=8,
+                         guidance_scale=args.guidance,
+                         key=jax.random.PRNGKey(7))
+    jax.effects_barrier()
+    os.environ.pop("DIFFUSION_TPU_ATTN_SCORE_PROBE")
+    score_max = max(_attn.SCORE_PROBE_MAX) if _attn.SCORE_PROBE_MAX else None
+    log["score_probe"] = {
+        "max_abs_score": round(score_max, 3) if score_max else None,
+        "clip": 80.0,
+        "n_observations": len(_attn.SCORE_PROBE_MAX),
+        "within_clip_margin": bool(score_max is not None and score_max < 40),
+    }
+    print(f"score probe: max |score| = {score_max} over "
+          f"{len(_attn.SCORE_PROBE_MAX)} attention calls (clip 80)",
+          flush=True)
+    if score_max is not None and score_max >= 40:
+        print("WARNING: scores within 2x of the bf16 clip — the "
+              "max-subtraction elision is NOT safe for this checkpoint",
+              flush=True)
+
     t0 = time.time()
     metrics = {}
     for cls, cname in CLASS_NAMES.items():

@@ -192,6 +192,127 @@ def test_dynamic_batching_solo_and_errors(batch_server):
     assert code == 400
 
 
+def _make_tiny_pipe(seed=2):
+    rng = jax.random.PRNGKey(seed)
+    vae = VAE(VAEConfig(base_channels=8))
+    unet = CondUNet(UNetConfig(in_ch=4, time_dim=32, num_classes=3,
+                               with_geom_head=True, base_ch=8,
+                               remove_deep_conv=True))
+    vae_params = vae.init({"params": rng, "sample": rng},
+                          jnp.zeros((1, 32, 32, 3)))["params"]
+    z = jnp.zeros((1, 4, 4, 4))
+    unet_params = unet.init(
+        rng, z, jnp.ones((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 12)), jnp.zeros((1, 12)))["params"]
+    return DiffusionPipeline(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        schedule=DiffusionSchedule.create(4), use_data_parallel=False,
+    )
+
+
+def _serve(handler):
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_overflow_returns_429():
+    """Admission bound: with max_pending=1 row, a second concurrent
+    request (or any multi-row request) must get 429, not queue forever."""
+    from diffusion_model_tpu.cli.serve import make_handler
+
+    pipe = _make_tiny_pipe()
+    srv, url = _serve(make_handler(pipe, (32, 32), 4, "ddpm",
+                                   max_pending=1))
+    try:
+        # a 2-row request alone exceeds the 1-row bound -> immediate 429
+        code, body = _post(url, {"class_id": 1, "count": 2})
+        assert code == 429 and "capacity" in body["error"]
+        # a 1-row request fits
+        code, body = _post(url, {"class_id": 1, "count": 1})
+        assert code == 200 and len(body["images"]) == 1
+    finally:
+        srv.shutdown()
+
+
+def test_timeout_returns_504():
+    """Per-request deadline: a deliberately blocked device lane must
+    surface as 504, not an indefinitely hung HTTP thread."""
+    from diffusion_model_tpu.cli.serve import make_handler
+
+    pipe = _make_tiny_pipe()
+    srv, url = _serve(make_handler(pipe, (32, 32), 4, "ddpm",
+                                   request_timeout_s=0.5))
+    try:
+        # make the device call slower than the 0.5 s deadline
+        orig = pipe.sample_latent_cond
+        ev = threading.Event()
+
+        def slow(*a, **k):
+            ev.wait(2.0)
+            return orig(*a, **k)
+
+        pipe.sample_latent_cond = slow
+        code, body = _post(url, {"class_id": 1, "count": 1})
+        assert code == 504 and "deadline" in body["error"]
+        ev.set()
+        pipe.sample_latent_cond = orig
+    finally:
+        srv.shutdown()
+
+
+def test_metrics_endpoint(batch_server):
+    """/metrics must expose counters, coalescing stats, and the compiled-
+    program cache keys; numbers must move with traffic."""
+    code, body = _post(batch_server, {"class_id": 1, "count": 1})
+    assert code == 200
+    with urllib.request.urlopen(batch_server + "/metrics") as r:
+        m = json.loads(r.read())
+    assert r.status == 200
+    assert m["requests_total"] >= 1
+    assert m["responses"]["2xx"] >= 1
+    assert m["launches"] >= 1
+    assert m["batched_rows"] >= 1
+    assert m["mean_rows_per_launch"] >= 1
+    assert m["dynamic_batching"] is True
+    assert isinstance(m["compiled_programs"], list)
+    assert len(m["compiled_programs"]) >= 1  # ddpm program is warm
+
+
+def test_load_eight_concurrent_mixed_sampler_clients(batch_server):
+    """VERDICT r3 #8 load test: 8 concurrent clients with mixed samplers /
+    signatures; every request must complete 200 with the right image count
+    (batching groups same-signature ones, never mixes)."""
+    payloads = [
+        {"class_id": 1, "count": 1, "seed": 11},
+        {"class_id": 2, "count": 2, "seed": 12},
+        {"class_id": 3, "count": 1, "seed": 13},
+        {"class_id": 1, "count": 1, "sampler": "ddim",
+         "num_inference_steps": 2, "seed": 14},
+        {"class_id": 2, "count": 1, "sampler": "ddim",
+         "num_inference_steps": 2, "seed": 15},
+        {"class_id": 3, "count": 1, "sampler": "dpmpp",
+         "num_inference_steps": 2, "seed": 16},
+        {"class_id": 1, "count": 2, "sampler": "ddpm_cached",
+         "cache_interval": 2, "seed": 17},
+        {"class_id": 2, "count": 1, "guidance_scale": 1.5, "seed": 18},
+    ]
+    results = [None] * len(payloads)
+
+    def fire(i):
+        results[i] = _post(batch_server, payloads[i])
+
+    threads = [threading.Thread(target=fire, args=(i,))
+               for i in range(len(payloads))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, (code, body) in enumerate(results):
+        assert code == 200, (i, body)
+        assert len(body["images"]) == payloads[i]["count"], i
+
+
 def test_dynamic_batching_different_signatures_do_not_merge(batch_server):
     """Different guidance scales are different compiled programs; firing
     them together must NOT put them in one launch."""
