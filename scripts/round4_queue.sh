@@ -39,17 +39,10 @@ run bench_headline "$LOG/bench_headline.done" \
   env BENCH_REPS=5 python bench.py
 grep -q '"metric"' "$LOG/bench_headline.log" 2>/dev/null && touch "$LOG/bench_headline.done"
 
-# --- 2. framework@1e-4 96px parity leg — completes the lr-matched 2x2
-#        (torch@{1e-4,2e-4} are recorded in BASELINE.md round 3). Fresh
-#        run: renders seed-identical data + retrains the 20-epoch VAE from
-#        the same seedline the scout used (round-3 artifacts pruned).
-run parity96lr1 parity96lr1_fw/quality_summary.json \
-  python scripts/quality_run.py --root parity96lr1_fw --image_size 96 \
-    --train_count 1000 --val_count 64 --test_count 64 --vae_epochs 20 \
-    --latent_epochs 200 --latent_bs 32 --latent_lr 1e-4 --gen_count 64
-
-# --- 3. perf lever A/Bs toward >=10 img/s (VERDICT r3 #2). Short probes;
-#        a lever only becomes default with its quality cert (stages 5-7).
+# --- 2. perf lever A/Bs toward >=10 img/s (VERDICT r3 #2). Short probes
+#        FIRST (reordered): their results decide the default dispatch for
+#        the round's headline, so they must land with hours to act on
+#        them. A lever only becomes default with its quality cert.
 run bench_vmem64 "$LOG/bench_vmem64.done" \
   env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 BENCH_REPS=3 python bench.py
 grep -q '"metric"' "$LOG/bench_vmem64.log" 2>/dev/null && touch "$LOG/bench_vmem64.done"
@@ -76,6 +69,15 @@ run bench_combo "$LOG/bench_combo.done" \
       XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 \
       BENCH_REPS=3 python bench.py
 grep -q '"metric"' "$LOG/bench_combo.log" 2>/dev/null && touch "$LOG/bench_combo.done"
+
+# --- 3. framework@1e-4 96px parity leg — completes the lr-matched 2x2
+#        (torch@{1e-4,2e-4} are recorded in BASELINE.md round 3). Fresh
+#        run: renders seed-identical data + retrains the 20-epoch VAE from
+#        the same seedline the scout used (round-3 artifacts pruned).
+run parity96lr1 parity96lr1_fw/quality_summary.json \
+  python scripts/quality_run.py --root parity96lr1_fw --image_size 96 \
+    --train_count 1000 --val_count 64 --test_count 64 --vae_epochs 20 \
+    --latent_epochs 200 --latent_bs 32 --latent_lr 1e-4 --gen_count 64
 
 # --- 4. progressive guided distillation 256->8 of the continuation
 #        checkpoint + 8-step student cert (VERDICT r3 #3: the single
