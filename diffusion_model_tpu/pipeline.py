@@ -47,6 +47,28 @@ from .train.checkpoints import load_params
 ClassCounts = Union[Dict[int, int], Tuple[int, int], List[Tuple[int, int]]]
 
 
+def _env_compiler_options() -> Optional[Dict[str, str]]:
+    """Per-jit XLA compiler options from DIFFUSION_TPU_COMPILER_OPTIONS
+    (``key=val,key=val``), e.g. ``xla_tpu_scoped_vmem_limit_kib=65536``.
+
+    TPU-backend flags CANNOT be set via XLA_FLAGS on this stack: the axon
+    client's local XLA parser rejects flags it doesn't know (fatal
+    ``Unknown flag in XLA_FLAGS``) even though compilation happens on the
+    remote TPU server. Per-jit compiler_options travel inside the compile
+    request instead, so backend-only options reach the compiler that
+    actually understands them. Benchmark/A-B plumbing — unset (the
+    default) means no override."""
+    raw = os.environ.get("DIFFUSION_TPU_COMPILER_OPTIONS", "").strip()
+    if not raw:
+        return None
+    out: Dict[str, str] = {}
+    for kv in raw.split(","):
+        k, _, v = kv.partition("=")
+        if k.strip():
+            out[k.strip()] = v.strip()
+    return out or None
+
+
 def normalize_class_counts(cc: ClassCounts) -> List[Tuple[int, int]]:
     """diff.py:206-220 normalization: {cls: n} | (cls, n) | [(cls, n)...]."""
     if isinstance(cc, dict):
@@ -170,7 +192,8 @@ class DiffusionPipeline:
         key_ = (float(guidance_scale), decode, snapshots, method,
                 int(num_inference_steps), float(eta), quantize,
                 int(self.decode_chunk), int(cache_interval),
-                self.prediction_type, timestep_spacing, unroll)
+                self.prediction_type, timestep_spacing, unroll,
+                os.environ.get("DIFFUSION_TPU_COMPILER_OPTIONS", ""))
         with self._compile_lock:
             return self._sampler_locked(key_, guidance_scale, decode,
                                         snapshots, method,
@@ -294,7 +317,8 @@ class DiffusionPipeline:
                 out = jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)
             return (out, snaps) if snapshots else out
 
-        jitted = jax.jit(run, static_argnames=())
+        jitted = jax.jit(run, static_argnames=(),
+                         compiler_options=_env_compiler_options())
         self._compiled[key_] = jitted
         return jitted
 
