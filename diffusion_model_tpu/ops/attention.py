@@ -203,12 +203,13 @@ def _block_body_batched(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
         (lambda s: jnp.exp(s - s.max(axis=-1, keepdims=True)))
     )
     # bf16 scores (env DIFFUSION_TPU_ATTN_BF16_SCORES, planted path only):
-    # the MXU still accumulates QKᵀ in f32 but emits bf16 — halves the
-    # score block's VMEM and lets clip+exp run on bf16. Softmax weights
+    # QKᵀ accumulates in f32 on the MXU (Mosaic requires a 32-bit matmul
+    # accumulator — asking for a bf16 acc is a verification error on this
+    # toolchain), then the materialized score block casts to bf16 so the
+    # clip+exp VPU passes run at double lane throughput. Softmax weights
     # pick up ~|s|·2⁻⁸ relative error, so this is opt-in until certified
     # on the quality metrics.
-    score_pet = (jnp.bfloat16 if (bf16_scores and planted_c is not None)
-                 else jnp.float32)
+    cast_scores_bf16 = bool(bf16_scores and planted_c is not None)
     masks = [((lane // dh) == h).astype(dt) for h in range(num_heads)]
     vmasks = [
         (((lane // dh) == h) | (lane == planted_c)).astype(dt)
@@ -229,8 +230,11 @@ def _block_body_batched(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
         for h in range(num_heads):
             qh = qs[:, t0:t0 + tc, :] * masks[h]
             scores = jnp.einsum(
-                "rtc,rsc->rts", qh, k, preferred_element_type=score_pet,
+                "rtc,rsc->rts", qh, k,
+                preferred_element_type=jnp.float32,
             )
+            if cast_scores_bf16:
+                scores = scores.astype(jnp.bfloat16)
             if planted_c is not None:
                 # Planted-sum path (bf16, C < 128): q/k/v come in at
                 # per-part width 128 (lanes >= C zero; see
