@@ -19,4 +19,19 @@
   python -m diffusion_model_tpu.cli.convert_checkpoint (no reference
       counterpart: import reference-trained torch .pth state_dicts as
       framework msgpack checkpoints)
+
+Every CLI gets JAX's persistent compilation cache (default
+``/tmp/jax_cache``, override/disable via
+``DIFFUSION_TPU_COMPILE_CACHE_DIR``): under the remote axon compiler a
+cold compile of a big training/sampling program costs tens of minutes,
+and a killed-and-retried run must not pay it twice.
 """
+import os as _os
+
+import jax as _jax
+
+_cache_dir = _os.environ.get("DIFFUSION_TPU_COMPILE_CACHE_DIR",
+                             "/tmp/jax_cache")
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

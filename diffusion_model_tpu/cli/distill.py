@@ -65,6 +65,18 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--out_dir", type=str, default="./model_para")
     ap.add_argument("--no_bf16", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore completed distilled_S*.msgpack stage "
+                         "artifacts in --out_dir (default: resume the "
+                         "halving schedule after the deepest one)")
+    ap.add_argument("--no_preencode", action="store_true",
+                    help="keep uint8 images device-resident and run the "
+                         "frozen VAE encoder inside every distill step "
+                         "(the pre-round-4 behavior) instead of "
+                         "pre-encoding posterior moments once")
+    ap.add_argument("--encode_chunk", type=int, default=256)
+    ap.add_argument("--rss_limit_gb", type=float, default=100.0)
+    ap.add_argument("--log_rss_every", type=int, default=250)
     return ap
 
 
@@ -102,10 +114,54 @@ def main(argv=None) -> None:
                  for cls, d in dirs.items()]
     ds = LabelDataset(items, image_size=tuple(args.image_size))
     data_np = ds.materialize()
-    data = {k: jax.device_put(v) for k, v in data_np.items()}
+    if args.no_preencode:
+        data = {k: jax.device_put(v) for k, v in data_np.items()}
+        distill_vae, distill_vae_params = vae, vae_params
+    else:
+        # Pre-encode the frozen VAE's posterior moments ONCE (the encoder
+        # output is a pure function of the image; only the per-step eps
+        # draw varies — that draw moves inside the distill step). This
+        # drops the N×224×224×3 uint8 tensor AND the whole encoder from
+        # the per-step program: smaller compile, no per-step encode
+        # FLOPs, and ~12× less device-resident data (two (N,28,28,4) f32
+        # moment tensors). Chunks are padded to a fixed size so ONE
+        # compiled encode serves the whole pass.
+        import time as _time
+        t0 = _time.time()
+        enc = jax.jit(lambda p, x: vae.apply(
+            {"params": p}, x, method=VAE.encode_stats))
+        vp = jax.device_put(vae_params)
+        imgs = data_np.pop("image_u8")
+        n_img, c = imgs.shape[0], max(1, args.encode_chunk)
+        sf = vae.config.scale_factor
+        mus, stds = [], []
+        for i0 in range(0, n_img, c):
+            chunk = imgs[i0:i0 + c].astype(np.float32) / 255.0
+            real = chunk.shape[0]
+            if real < c:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((c - real,) + chunk.shape[1:],
+                                     np.float32)])
+            mu, logvar = enc(vp, chunk)
+            mus.append(np.asarray(mu[:real], np.float32) * sf)
+            stds.append(np.exp(0.5 * np.asarray(logvar[:real],
+                                                np.float32)) * sf)
+        del imgs
+        data = {
+            "z_mu": jax.device_put(np.concatenate(mus)),
+            "z_std": jax.device_put(np.concatenate(stds)),
+            "y": jax.device_put(data_np["y"]),
+            "vals": jax.device_put(data_np["vals"]),
+            "mask": jax.device_put(data_np["mask"]),
+        }
+        del mus, stds
+        distill_vae, distill_vae_params = None, None
+        print(f"pre-encoded {n_img} latents in {_time.time() - t0:.1f}s",
+              flush=True)
     print(f"distilling on {len(ds)} images; "
           f"stages {args.start_steps} -> {args.min_steps} "
-          f"({args.steps_per_stage} steps each, guidance {args.guidance})")
+          f"({args.steps_per_stage} steps each, guidance {args.guidance})",
+          flush=True)
 
     # flag > teacher's .arch.json sidecar > reference defaults (a teacher
     # trained on cosine betas must be distilled on the same ᾱ table)
@@ -117,19 +173,53 @@ def main(argv=None) -> None:
     os.makedirs(args.out_dir, exist_ok=True)
 
     def on_stage(S, params, log):
-        path = os.path.join(args.out_dir, f"distilled_S{S}.msgpack")
+        name = (f"distilled_S{S}_partial{log['partial']}.msgpack"
+                if "partial" in log else f"distilled_S{S}.msgpack")
+        path = os.path.join(args.out_dir, name)
         save_params(path, params)
         tail = [round(x, 5) for x in log["losses"][-3:]]
         print(f"[stage S={S}] loss tail {tail} -> {path}", flush=True)
 
+    # Stage resume: a completed stage's checkpoint IS the next stage's
+    # teacher (a v-model with guidance already folded in), so a killed
+    # run restarts at the first un-checkpointed stage instead of paying
+    # the whole halving schedule again.
+    start_steps = args.start_steps
+    guidance = args.guidance
+    teacher_ptype = (args.teacher_prediction_type
+                     or ua.get("prediction_type", "epsilon"))
+    if not args.fresh:
+        s, deepest = args.start_steps, None
+        while s >= args.min_steps:
+            if os.path.exists(os.path.join(args.out_dir,
+                                           f"distilled_S{s}.msgpack")):
+                deepest = s
+            s //= 2
+        if deepest is not None:
+            path = os.path.join(args.out_dir, f"distilled_S{deepest}.msgpack")
+            teacher_params = load_params(path, teacher_params)
+            print(f"resuming after completed stage S={deepest} ({path})",
+                  flush=True)
+            if deepest == args.min_steps:
+                save_params(os.path.join(args.out_dir,
+                                         "distilled_final.msgpack"),
+                            teacher_params)
+                print("[OK] all stages already complete; final re-saved")
+                return
+            start_steps = deepest // 2
+            guidance = 0.0       # folded in during the completed stage 1
+            teacher_ptype = "v"  # stage outputs are v-models
+
     final, logs = progressive_distill(
-        unet, teacher_params, vae, vae_params, schedule, data,
-        start_steps=args.start_steps, min_steps=args.min_steps,
+        unet, teacher_params, distill_vae, distill_vae_params, schedule,
+        data,
+        start_steps=start_steps, min_steps=args.min_steps,
         steps_per_stage=args.steps_per_stage, batch_size=args.batch_size,
-        lr=args.lr, guidance_w=args.guidance,
-        teacher_prediction_type=(args.teacher_prediction_type
-                                 or ua.get("prediction_type", "epsilon")),
+        lr=args.lr, guidance_w=guidance,
+        teacher_prediction_type=teacher_ptype,
         seed=args.seed, on_stage_done=on_stage,
+        rss_limit_gb=args.rss_limit_gb,
+        log_rss_every=args.log_rss_every,
     )
     path = os.path.join(args.out_dir, "distilled_final.msgpack")
     save_params(path, final)

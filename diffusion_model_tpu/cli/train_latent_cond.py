@@ -1,6 +1,8 @@
 """CLI: stage-2 conditional latent diffusion training
 (reference entry /root/reference/train_latent_cond.py; defaults bs=32,
-epochs=200, lr=1e-4, T=1000, cfg_drop=0.1, geom_lambda=0)."""
+epochs=200, lr=1e-4, T=1000, cfg_drop=0.1; geom_lambda defaults to 0.01
+from the completed 4-λ sweep — see LatentTrainConfig.geom_lambda — where
+the reference default is 0)."""
 from __future__ import annotations
 
 import argparse
@@ -22,7 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num_timesteps", type=int, default=1000)
     ap.add_argument("--z_channels", type=int, default=4)
     ap.add_argument("--cfg_drop_prob", type=float, default=0.1)
-    ap.add_argument("--geom_lambda", type=float, default=0.0)
+    ap.add_argument("--geom_lambda", type=float, default=0.01,
+                    help="geometry-head loss weight; 0.01 won the 4-λ "
+                         "sweep (pass 0 for reference behavior)")
     ap.add_argument("--geom_dim", type=int, default=12)
     ap.add_argument("--val_interval", type=int, default=5)
     ap.add_argument("--base_ch", type=int, default=64)

@@ -66,7 +66,17 @@ class LatentTrainConfig:
     num_timesteps: int = 1000
     z_channels: int = 4
     cfg_drop_prob: float = 0.1
-    geom_lambda: float = 0.0
+    # Geometry-head loss weight. Reference default is 0 with λ ∈ {0, 0.01,
+    # 0.05, 0.1} as the thesis sweep (train_latent_cond.py:151-159,
+    # image_tools.py:470-478). Our completed 4-λ sweep
+    # (quality_r2/lambda_sweep/sweep_summary.json, 96px/200 epochs/200
+    # gen images/class) picks 0.01: val geom MAE drops 1.02 → 0.0137
+    # (75×, the head actually learns) while generation quality is the
+    # best of the four (line recall 0.57 → 0.69, line far-noise
+    # 0.51 → 0.38; circle unchanged; arc −0.11 recall is the one cost).
+    # λ=0.05 buys only MAE 0.0137 → 0.0079 but loses circle AND arc
+    # (recall −0.09/−0.13 vs λ=0); λ=0.1 is dominated everywhere.
+    geom_lambda: float = 0.01
     geom_dim: int = 12
     val_interval: int = 5
     # Regression target: "epsilon" (reference semantics) or "v"

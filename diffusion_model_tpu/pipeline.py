@@ -185,10 +185,14 @@ class DiffusionPipeline:
                  eta: float = 0.0, quantize: bool = False,
                  cache_interval: int = 2, timestep_spacing: str = "linear"):
         """Build (and cache) the jitted scan+decode program."""
-        # DDPM scan unroll factor: a pure scheduling A/B knob (see
-        # sample_loop docstring); env-read so bench.py can sweep it without
-        # API churn, and part of the cache key so a changed value recompiles.
-        unroll = max(1, int(os.environ.get("DIFFUSION_TPU_SCAN_UNROLL", "1")))
+        # DDPM scan unroll factor: a pure scheduling knob (see sample_loop
+        # docstring) — numerics-identical, it only changes how many step
+        # bodies XLA lays out per loop iteration. Default 2 from the
+        # round-4 A/B on the real chip: 10.35 vs 10.06 img/s at B=64
+        # (+2.9%, docs/ROUND4_NOTES.md); unroll=4 regressed in round 3.
+        # Env-read so bench.py can sweep it without API churn, and part of
+        # the cache key so a changed value recompiles.
+        unroll = max(1, int(os.environ.get("DIFFUSION_TPU_SCAN_UNROLL", "2")))
         key_ = (float(guidance_scale), decode, snapshots, method,
                 int(num_inference_steps), float(eta), quantize,
                 int(self.decode_chunk), int(cache_interval),

@@ -33,6 +33,8 @@ TPU-first mechanics:
 from __future__ import annotations
 
 import functools
+import gc
+import os
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -127,10 +129,16 @@ def make_distill_step(
 
     ``teacher_apply(variables, x, t, y, vals, mask)`` is the frozen
     teacher's apply fn (tuple outputs allowed — geom head ignored).
-    ``vae=None`` means ``data["z0"]`` already holds latents; otherwise
-    ``data["image_u8"]`` is gathered and encoded per step. The student's
-    geometry head is left untouched by the distill loss (its weights ride
-    along from the teacher init).
+    ``vae=None`` means the data dict already holds latents: either fixed
+    samples ``data["z0"]``, or pre-encoded posterior moments
+    ``data["z_mu"]``/``data["z_std"]`` (ALREADY multiplied by the VAE
+    scale factor) from which a fresh reparameterized sample is drawn per
+    step — exactly ``VAE.encode`` semantics without paying the encoder
+    per step (the encoder output for a frozen VAE is a pure function of
+    the image; only the eps draw varies). Otherwise ``data["image_u8"]``
+    is gathered and encoded per step. The student's geometry head is
+    left untouched by the distill loss (its weights ride along from the
+    teacher init).
 
     The stage's timestep grid arrives at CALL time as runtime arguments
     (``tables``, ``n_steps`` from :func:`stage_tables`): padding every
@@ -172,7 +180,12 @@ def make_distill_step(
         y_b = jnp.take(data["y"], idx, axis=0).astype(jnp.int32)
         vals_b = jnp.take(data["vals"], idx, axis=0)
         mask_b = jnp.take(data["mask"], idx, axis=0)
-        if vae is None:
+        if vae is None and "z_mu" in data:
+            mu = jnp.take(data["z_mu"], idx, axis=0)
+            sd = jnp.take(data["z_std"], idx, axis=0)
+            z0 = mu + sd * jax.random.normal(k_vae, mu.shape,
+                                             dtype=mu.dtype)
+        elif vae is None:
             z0 = jnp.take(data["z0"], idx, axis=0)
         else:
             images = jnp.take(data["image_u8"], idx, axis=0).astype(
@@ -229,6 +242,16 @@ def make_distill_step(
     return step
 
 
+def _host_rss_gb() -> float:
+    """Current process resident set size in GB (Linux /proc)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGESIZE") / 1e9
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 def progressive_distill(
     student: CondUNet,
     teacher_params,
@@ -247,6 +270,9 @@ def progressive_distill(
     key: Optional[jax.Array] = None,
     seed: int = 0,
     on_stage_done: Optional[Callable] = None,
+    sync_every: int = 25,
+    rss_limit_gb: float = 100.0,
+    log_rss_every: int = 0,
 ) -> Tuple[dict, List[dict]]:
     """Run the halving schedule start_steps → min_steps.
 
@@ -255,6 +281,16 @@ def progressive_distill(
     teacher (which is a v-model from stage 2 on). Returns
     ``(final_params, stage_logs)``; ``on_stage_done(S, params, log)`` can
     checkpoint per stage.
+
+    Host-memory guards (the round-4 30000-image run was SIGKILLed at
+    130 GB host RSS on a 125 GB box): ``sync_every`` blocks on the loss
+    every N steps so the async dispatch queue — and whatever per-dispatch
+    host buffers the remote-device client retains — stays bounded;
+    ``log_rss_every`` > 0 prints host RSS (with a gc.collect()) at that
+    cadence; crossing ``rss_limit_gb`` checkpoints the stage-in-progress
+    via ``on_stage_done`` (log carries ``"partial": it``) and raises
+    RuntimeError — a clean, diagnosable failure instead of the OOM
+    killer's silent SIGKILL.
     """
     key = key if key is not None else jax.random.PRNGKey(seed)
     n = int(np.asarray(data["y"]).shape[0])
@@ -301,6 +337,25 @@ def progressive_distill(
             if it % max(1, steps_per_stage // 20) == 0 or \
                     it == steps_per_stage - 1:
                 losses.append(float(aux["loss"]))
+            elif sync_every and it % sync_every == 0:
+                jax.block_until_ready(aux["loss"])
+            if (log_rss_every and it % log_rss_every == 0) or \
+                    (sync_every and it % max(sync_every * 4, 100) == 0):
+                gc.collect()
+                rss = _host_rss_gb()
+                if log_rss_every and it % log_rss_every == 0:
+                    print(f"[stage S={S} it={it}] host RSS {rss:.2f} GB",
+                          flush=True)
+                if rss > rss_limit_gb:
+                    if on_stage_done is not None:
+                        on_stage_done(S, state.params,
+                                      {"steps": S, "losses": losses,
+                                       "partial": it})
+                    raise RuntimeError(
+                        f"host RSS {rss:.1f} GB exceeded the "
+                        f"{rss_limit_gb:.0f} GB limit at stage S={S} "
+                        f"step {it} — aborting before the OOM killer "
+                        f"does (stage-partial checkpoint saved)")
         log = {"steps": S, "losses": losses}
         logs.append(log)
         teacher_params = state.params

@@ -71,37 +71,40 @@ def main():
 
     # |score| <= 80 assumption check (ADVICE r3): the bf16 kernel's
     # max-subtraction elision clips logits at ±80; verify this checkpoint's
-    # actual score range with the exact-f32 probe over a short DDPM run
-    # (every attention call in every step reports its max |scaled score|).
-    from diffusion_model_tpu.ops import attention as _attn
+    # actual score range with the exact-f32 probe over a short guided DDIM
+    # run (every attention call in every step reports its max |scaled
+    # score|). Runs as a CPU-backend subprocess: the probe streams maxima
+    # through jax.debug.callback, which the axon remote-TPU client does
+    # not support, and score magnitude is device-independent.
+    import subprocess
 
-    os.environ["DIFFUSION_TPU_ATTN_SCORE_PROBE"] = "1"
-    probe_pipe = DiffusionPipeline.from_checkpoints(
-        unet_ckpt=args.ckpt, vae_ckpt=vae_ckpt, unet=unet, vae=vae,
-        schedule=DiffusionSchedule.create(1000),
-        latent_hw=(hw[0] // 8, hw[1] // 8), image_hw=hw,
-    )
-    probe_sampler = CsvConditionSampler(probe_pipe, class_id=1, image_hw=hw)
-    d1 = f"./data/line_{sfx}_test"
-    probe_sampler.sample(f"{d1}/line_{sfx}_test.csv", count=8,
-                         guidance_scale=args.guidance,
-                         key=jax.random.PRNGKey(7))
-    jax.effects_barrier()
-    os.environ.pop("DIFFUSION_TPU_ATTN_SCORE_PROBE")
-    score_max = max(_attn.SCORE_PROBE_MAX) if _attn.SCORE_PROBE_MAX else None
-    log["score_probe"] = {
-        "max_abs_score": round(score_max, 3) if score_max else None,
-        "clip": 80.0,
-        "n_observations": len(_attn.SCORE_PROBE_MAX),
-        "within_clip_margin": bool(score_max is not None and score_max < 40),
-    }
-    print(f"score probe: max |score| = {score_max} over "
-          f"{len(_attn.SCORE_PROBE_MAX)} attention calls (clip 80)",
-          flush=True)
-    if score_max is not None and score_max >= 40:
-        print("WARNING: scores within 2x of the bf16 clip — the "
-              "max-subtraction elision is NOT safe for this checkpoint",
-              flush=True)
+    probe_script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "attn_score_probe.py")
+    probe_out = "./attn_score_probe.json"
+    env = {k: v for k, v in os.environ.items()
+           if k != "DIFFUSION_TPU_ATTN_BF16_SCORES"}
+    env["JAX_PLATFORMS"] = ""
+    rc = subprocess.run(
+        [sys.executable, probe_script, "--ckpt", args.ckpt,
+         "--vae_ckpt", vae_ckpt, "--out", probe_out,
+         "--guidance", str(args.guidance),
+         "--image_size", str(args.image_size)],
+        env=env, timeout=3600).returncode
+    if rc == 0 and os.path.exists(probe_out):
+        with open(probe_out) as f:
+            log["score_probe"] = json.load(f)
+        score_max = log["score_probe"]["max_abs_score"]
+        print(f"score probe: max |score| = {score_max} over "
+              f"{log['score_probe']['n_observations']} attention calls "
+              f"(clip 80)", flush=True)
+        if score_max is not None and score_max >= 40:
+            print("WARNING: scores within 2x of the bf16 clip — the "
+                  "max-subtraction elision is NOT safe for this checkpoint",
+                  flush=True)
+    else:
+        log["score_probe"] = {"error": f"probe subprocess rc={rc}"}
+        print(f"WARNING: score probe failed (rc={rc}); certifying on "
+              "metrics alone", flush=True)
 
     t0 = time.time()
     metrics = {}

@@ -95,6 +95,63 @@ def test_exact_teacher_gives_x0_as_target():
                                np.asarray(aux["z0"]), atol=5e-4)
 
 
+def test_preencoded_moments_path():
+    """The z_mu/z_std data path (round-4 host-OOM fix: posterior moments
+    pre-encoded once, reparameterized draw inside the step). With
+    z_std=0 the draw IS z_mu, so the oracle-teacher identity must hold
+    exactly as in the data["z0"] path; with z_std>0 the draw must
+    actually perturb x0_tgt (the eps stream is live)."""
+    T = 16
+    sched = DiffusionSchedule.create(T)
+    key = jax.random.PRNGKey(0)
+    unet, params = _tiny_student(key)
+
+    n = 8
+    z0 = jax.random.normal(jax.random.fold_in(key, 1), (n, 8, 8, 2))
+
+    def oracle_apply(tvars, x, t, y, vals, mask):
+        del tvars, vals, mask
+        B = x.shape[0]
+        z = jnp.concatenate([z0, z0], axis=0)[:B]
+        ab = sched.alpha_bar(t).reshape(-1, 1, 1, 1)
+        return ((x - jnp.sqrt(ab) * z) / jnp.sqrt(1.0 - ab), None)
+
+    base = {
+        "y": jnp.ones((n,), jnp.int32),
+        "vals": jnp.zeros((n, 12)),
+        "mask": jnp.zeros((n, 12)),
+    }
+    idx = jnp.arange(n, dtype=jnp.int32)
+    step = make_distill_step(unet, oracle_apply, None, sched,
+                             guidance_w=3.0, debug_targets=True)
+    tables, n_steps = stage_tables(sched, 4, pad_to=6)
+    import optax
+    from flax.training import train_state
+
+    def fresh_state():
+        # the step donates the state; each call needs its own buffers
+        return train_state.TrainState.create(
+            apply_fn=None,
+            params=jax.tree_util.tree_map(jnp.copy, params),
+            tx=optax.adam(1e-4))
+
+    data0 = dict(base, z_mu=z0, z_std=jnp.zeros_like(z0))
+    _, aux = step(fresh_state(), params, None, data0, idx,
+                  jax.random.PRNGKey(2), tables,
+                  jnp.asarray(n_steps, jnp.int32))
+    np.testing.assert_allclose(np.asarray(aux["z0"]), np.asarray(z0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux["x0_tgt"]),
+                               np.asarray(aux["z0"]), atol=5e-4)
+
+    data1 = dict(base, z_mu=z0, z_std=0.1 * jnp.ones_like(z0))
+    _, aux1 = step(fresh_state(), params, None, data1, idx,
+                   jax.random.PRNGKey(2), tables,
+                   jnp.asarray(n_steps, jnp.int32))
+    spread = float(jnp.abs(aux1["z0"] - z0).mean())
+    assert 0.01 < spread < 0.5  # a real N(0, 0.1²) perturbation
+
+
 @pytest.mark.heavy
 def test_progressive_distill_tiny_end_to_end():
     """Full halving run (4 → 2) on a tiny v-teacher; the distilled student
