@@ -52,6 +52,7 @@ def recon_check(
     a per-image metrics CSV; return summary stats."""
     os.makedirs(out_dir, exist_ok=True)
     key = key if key is not None else jax.random.PRNGKey(0)
+    vae_params = jax.device_put(vae_params)  # avoid re-upload per batch
 
     @jax.jit
     def roundtrip(params, x, k):

@@ -127,6 +127,17 @@ class DiffusionPipeline:
     def __post_init__(self):
         import threading
 
+        # Pin params to the device ONCE: checkpoint loads
+        # (flax.serialization.from_bytes) return host numpy, and a host
+        # pytree passed into the jitted samplers re-uploads the whole
+        # U-Net (~120 MB fp32) on EVERY generate call — pure latency, and
+        # under the remote-device client the retained per-dispatch host
+        # buffers accumulate (the round-4 distill OOM signature). No-op
+        # for already-device-resident pytrees.
+        self.unet_params = jax.device_put(self.unet_params)
+        if self.vae_params is not None:
+            self.vae_params = jax.device_put(self.vae_params)
+
         self._compiled = {}
         # serve.py drives one pipeline from ThreadingHTTPServer threads;
         # guard the jit cache so concurrent first requests for the same

@@ -296,6 +296,19 @@ def progressive_distill(
     n = int(np.asarray(data["y"]).shape[0])
     rng = np.random.default_rng(seed)
 
+    # Pin the frozen pytrees to the device ONCE. Checkpoint loads
+    # (flax.serialization.from_bytes) return host numpy arrays; passing
+    # those into the jitted step re-uploads the whole teacher (~120 MB
+    # fp32 for the flagship U-Net) on EVERY call — under the remote-device
+    # client that retained per-dispatch host buffers at ~100 MB/step,
+    # which is exactly the round-4 30000-image OOM signature (22→47 GB
+    # RSS in 250 steps even after the data-side pre-encode fix).
+    teacher_params = jax.device_put(teacher_params)
+    if vae_params is not None:
+        vae_params = jax.device_put(vae_params)
+    data = {k: (v if isinstance(v, jax.Array) else jax.device_put(v))
+            for k, v in data.items()}
+
     stages = []
     s = start_steps
     while s >= min_steps:

@@ -477,6 +477,9 @@ def train_latent_cond(cfg: LatentTrainConfig,
         rng0 = jax.random.PRNGKey(0)
         target = vae.init({"params": rng0, "sample": rng0}, dummy)["params"]
         vae_params = load_params(cfg.vae_ckpt, target)
+    # pin once: load_params returns host numpy; a host pytree re-uploads
+    # the frozen VAE on every jitted epoch/step call (see pipeline.py note)
+    vae_params = jax.device_put(vae_params)
 
     train_ds, val_ds = _resolve_datasets(cfg)
 

@@ -116,6 +116,37 @@ def test_parallel_cfg_and_conditioning_plumbed():
                                atol=1e-3, rtol=0)
 
 
+def test_parallel_tol_frame_x0_bounds_end_to_end_error():
+    """The round-4 production-scale cert failed with the raw per-position
+    criterion (tol_frame='x'): an accepted error at a high-noise position
+    is amplified by 1/sqrt(ᾱ_p) — ~150× on a linear T=1000 schedule — so
+    tol=1e-3 allowed full-range uint8 deltas on ~0.2% of pixels
+    (quality_r2/parallel_dev_cert.json). 'x0' scales the acceptance test
+    by that amplification, bounding the END-TO-END deviation by O(S·tol)
+    regardless of the schedule."""
+    sched = DiffusionSchedule.create(1000)
+    eps_fn = _contractive(sched)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 2))
+    S, tol = 40, 1e-3
+    seq = sample_loop_ddim(sched, eps_fn, x, jax.random.PRNGKey(1),
+                           num_inference_steps=S)
+    par_x0, sw_x0 = sample_loop_ddim_parallel(
+        sched, eps_fn, x, num_inference_steps=S, window=10, tol=tol,
+        tol_frame="x0")
+    dev_x0 = float(np.abs(np.asarray(par_x0) - np.asarray(seq)).max())
+    assert dev_x0 <= S * tol, dev_x0
+    assert int(sw_x0) <= S
+    # the raw frame accepts no later (its criterion is strictly looser),
+    # and stays available for speed-over-accuracy callers
+    _, sw_x = sample_loop_ddim_parallel(
+        sched, eps_fn, x, num_inference_steps=S, window=10, tol=tol,
+        tol_frame="x")
+    assert int(sw_x) <= int(sw_x0)
+    with pytest.raises(ValueError):
+        sample_loop_ddim_parallel(sched, eps_fn, x, num_inference_steps=S,
+                                  tol_frame="bogus")
+
+
 @pytest.mark.multidevice
 def test_parallel_window_sharded_over_mesh():
     """B=1 request, window=8 sharded over the 8-device CPU mesh: the model
