@@ -1,10 +1,16 @@
 #!/bin/bash
-# Probe the TPU every 5 min; when jax.devices() answers, run the round-3
-# queue. Loops until the queue's terminal artifact exists, so a tunnel
-# wedge MID-queue (stages time out, queue returns early) gets retried on
-# the next probe cycle — every stage is artifact-guarded and the queue is
-# flock'd, so relaunching is idempotent.
-DONE_ARTIFACT=/root/repo/quality_r2/continue_summary_cos.json
+# Probe the TPU every 5 min; when jax.devices() answers, FIRST capture
+# machine-verifiable perf evidence (bench.py appends the full parsed
+# metrics + env fingerprint to BENCH_LOCAL.json — VERDICT r3 #6: an
+# outage at driver-bench time must still leave a verifiable artifact),
+# THEN (re)launch the work queue. Loops until the queue's terminal
+# artifact exists, so a tunnel wedge MID-queue (stages time out, queue
+# returns early) gets retried on the next probe cycle — every stage is
+# artifact-guarded and the queue is flock'd, so relaunching is idempotent.
+#
+# Usage: nohup bash scripts/tpu_watchdog.sh [queue_script] [done_artifact] &
+QUEUE=${1:-/root/repo/scripts/round4_queue_d.sh}
+DONE_ARTIFACT=${2:-/root/repo/quality_r2/distill8_cert.json}
 while true; do
   if [ -e "$DONE_ARTIFACT" ]; then
     echo "[$(date -u +%H:%M:%S)] terminal artifact present; watchdog exiting"
@@ -12,8 +18,11 @@ while true; do
   fi
   n=$(timeout 240 python -c "import jax; print(len(jax.devices()))" 2>/dev/null | tail -1)
   if [[ "$n" =~ ^[0-9]+$ ]] && [ "$n" -ge 1 ]; then
-    echo "[$(date -u +%H:%M:%S)] TPU up ($n device); (re)launching queue"
-    bash /root/repo/scripts/round3_queue.sh
+    echo "[$(date -u +%H:%M:%S)] TPU up ($n device); benching first, then queue"
+    ( cd /root/repo && timeout 3600 env BENCH_REPS=3 python bench.py \
+        > /tmp/r4queue/watchdog_bench.log 2>&1 )
+    echo "[$(date -u +%H:%M:%S)] bench rc=$?; (re)launching queue $QUEUE"
+    bash "$QUEUE"
     echo "[$(date -u +%H:%M:%S)] queue returned; re-probing in 600s"
     sleep 600
   else
