@@ -41,10 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="default = the teacher checkpoint's .arch.json "
                          "sidecar record, falling back to epsilon")
     ap.add_argument("--guidance", type=float, default=3.0,
-                    help="CFG weight folded into the first student")
+                    help="CFG weight folded into the stage-0 ε-space "
+                         "student (Meng et al. Alg. 1 stage one)")
     ap.add_argument("--start_steps", type=int, default=256)
     ap.add_argument("--min_steps", type=int, default=8)
     ap.add_argument("--steps_per_stage", type=int, default=2000)
+    ap.add_argument("--fold_steps", type=int, default=0,
+                    help="guidance-fold stage length (0 = steps_per_stage)")
+    ap.add_argument("--x0_clip", type=float, default=4.0,
+                    help="clip the halving stages' implied-x0 target to "
+                         "±this (0 disables; real latents span |z0|≲2)")
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--num_timesteps", type=int, default=0,
@@ -173,17 +179,18 @@ def main(argv=None) -> None:
     os.makedirs(args.out_dir, exist_ok=True)
 
     def on_stage(S, params, log):
-        name = (f"distilled_S{S}_partial{log['partial']}.msgpack"
-                if "partial" in log else f"distilled_S{S}.msgpack")
+        base = "distilled_fold" if S == 0 else f"distilled_S{S}"
+        name = (f"{base}_partial{log['partial']}.msgpack"
+                if "partial" in log else f"{base}.msgpack")
         path = os.path.join(args.out_dir, name)
         save_params(path, params)
         tail = [round(x, 5) for x in log["losses"][-3:]]
         print(f"[stage S={S}] loss tail {tail} -> {path}", flush=True)
 
     # Stage resume: a completed stage's checkpoint IS the next stage's
-    # teacher (a v-model with guidance already folded in), so a killed
-    # run restarts at the first un-checkpointed stage instead of paying
-    # the whole halving schedule again.
+    # teacher (the fold stage yields an ε-model with guidance folded in;
+    # halving stages yield v-models), so a killed run restarts at the
+    # first un-checkpointed stage instead of paying the whole schedule.
     start_steps = args.start_steps
     guidance = args.guidance
     teacher_ptype = (args.teacher_prediction_type
@@ -195,6 +202,7 @@ def main(argv=None) -> None:
                                            f"distilled_S{s}.msgpack")):
                 deepest = s
             s //= 2
+        fold_path = os.path.join(args.out_dir, "distilled_fold.msgpack")
         if deepest is not None:
             path = os.path.join(args.out_dir, f"distilled_S{deepest}.msgpack")
             teacher_params = load_params(path, teacher_params)
@@ -207,8 +215,14 @@ def main(argv=None) -> None:
                 print("[OK] all stages already complete; final re-saved")
                 return
             start_steps = deepest // 2
-            guidance = 0.0       # folded in during the completed stage 1
-            teacher_ptype = "v"  # stage outputs are v-models
+            guidance = 0.0       # folded during the completed fold stage
+            teacher_ptype = "v"  # halving-stage outputs are v-models
+        elif guidance > 0.0 and os.path.exists(fold_path):
+            teacher_params = load_params(fold_path, teacher_params)
+            print(f"resuming after completed fold stage ({fold_path})",
+                  flush=True)
+            guidance = 0.0
+            teacher_ptype = "epsilon"  # the folded student is an ε-model
 
     final, logs = progressive_distill(
         unet, teacher_params, distill_vae, distill_vae_params, schedule,
@@ -220,6 +234,8 @@ def main(argv=None) -> None:
         seed=args.seed, on_stage_done=on_stage,
         rss_limit_gb=args.rss_limit_gb,
         log_rss_every=args.log_rss_every,
+        fold_steps=args.fold_steps or None,
+        x0_clip=args.x0_clip,
     )
     path = os.path.join(args.out_dir, "distilled_final.msgpack")
     save_params(path, final)

@@ -15,6 +15,19 @@ loop, /root/reference/diff.py:326-344). Two papers compose here:
   Combined with step halving this is a multiplicative speedup:
   1000-step CFG DDPM = 2000 net evals; an 8-step student = 8.
 
+  Guidance folding is its OWN stage (Meng et al. Algorithm 1, stage one)
+  in **ε-space at matched t** — NOT fused into the first halving stage.
+  The round-4 fused attempt failed measurably: the two-step implied-x0
+  target under w=3 has abs-mean ~13 / max ~75 at t=1000 (true latent x0
+  std 0.36) because the guided ε̂ is miscalibrated at high noise and
+  (x_t − s·ε̂)/a amplifies that by 1/a ≈ 156; the stage never converged
+  (loss tail 0.40) and every later stage faithfully distilled the broken
+  teacher into blank images. ε-space fold targets stay O(1) at every t
+  and the student starts FROM the teacher weights, so it only learns the
+  small w·(ε_c − ε_u) correction. Halving stages then run at w=0 against
+  the folded, calibrated teacher, with the implied-x0 target clipped
+  (``x0_clip``) as a residual-miscalibration bound.
+
 TPU-first mechanics:
 
 - The student is trained as a **v-model** (prediction_type="v") — at the
@@ -116,6 +129,97 @@ def stage_tables(schedule: DiffusionSchedule, num_student_steps: int,
     return tables, S
 
 
+def _gather_z0(vae: Optional[VAE], data, idx, k_vae, vae_params):
+    """Gather one batch's latents (and conditioning) from HBM-resident
+    data: pre-drawn ``z0``, pre-encoded posterior moments, or a per-step
+    frozen-VAE encode of ``image_u8`` (see make_distill_step docstring)."""
+    y_b = jnp.take(data["y"], idx, axis=0).astype(jnp.int32)
+    vals_b = jnp.take(data["vals"], idx, axis=0)
+    mask_b = jnp.take(data["mask"], idx, axis=0)
+    if vae is None and "z_mu" in data:
+        mu = jnp.take(data["z_mu"], idx, axis=0)
+        sd = jnp.take(data["z_std"], idx, axis=0)
+        z0 = mu + sd * jax.random.normal(k_vae, mu.shape, dtype=mu.dtype)
+    elif vae is None:
+        z0 = jnp.take(data["z0"], idx, axis=0)
+    else:
+        images = jnp.take(data["image_u8"], idx, axis=0).astype(
+            jnp.float32) / 255.0
+        z0, _ = vae.apply({"params": vae_params}, images,
+                          method=VAE.encode, rngs={"sample": k_vae})
+    return z0, y_b, vals_b, mask_b
+
+
+def make_fold_step(
+    student: CondUNet,
+    teacher_apply: Callable,
+    vae: Optional[VAE],
+    schedule: DiffusionSchedule,
+    guidance_w: float,
+    teacher_prediction_type: str = "epsilon",
+    debug_targets: bool = False,
+):
+    """Guidance-fold step (Meng et al. 2023 Algorithm 1, stage one): the
+    student — initialized FROM the teacher — learns to output the
+    classifier-free-GUIDED ε̂ = ε_u + w·(ε_c − ε_u) in ONE forward, at
+    the SAME (x_t, t). Matching happens in ε-space, where targets are
+    O(1) at every t (the x0/v frames amplify guided-teacher
+    miscalibration by 1/a(t) ≈ 156 at t=1000 — see module docstring).
+    The folded student keeps the ε parameterization; timesteps are drawn
+    uniformly from [1, T] so the fold covers every grid any later
+    halving stage will sample."""
+    w = float(guidance_w)
+    T = schedule.num_timesteps
+
+    def _teacher_eps(tvars, x, t, y, vals, mask):
+        out = teacher_apply(tvars, x, t, y, vals, mask)
+        out = out[0] if isinstance(out, tuple) else out
+        if teacher_prediction_type == "v":
+            out = v_to_eps(schedule, x, t, out)
+        return out
+
+    ab = jnp.asarray(schedule.alpha_bars, jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: train_state.TrainState, teacher_params, vae_params,
+             data, idx, key):
+        k_vae, k_t, k_eps = jax.random.split(key, 3)
+        z0, y_b, vals_b, mask_b = _gather_z0(vae, data, idx, k_vae,
+                                             vae_params)
+        B, nd = z0.shape[0], z0.ndim
+        t = jax.random.randint(k_t, (B,), 1, T + 1)
+        a_b = jnp.sqrt(ab[t - 1]).reshape((B,) + (1,) * (nd - 1))
+        s_b = jnp.sqrt(1.0 - ab[t - 1]).reshape((B,) + (1,) * (nd - 1))
+        eps = jax.random.normal(k_eps, z0.shape, dtype=z0.dtype)
+        x_t = a_b * z0 + s_b * eps
+
+        tvars = {"params": teacher_params}
+        x2 = jnp.concatenate([x_t, x_t], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        y2 = jnp.concatenate([jnp.zeros_like(y_b), y_b], axis=0)
+        v2 = jnp.concatenate([vals_b, vals_b], axis=0)
+        m2 = jnp.concatenate([mask_b, mask_b], axis=0)
+        e2 = _teacher_eps(tvars, x2, t2, y2, v2, m2)
+        e_u, e_c = jnp.split(e2, 2, axis=0)
+        eps_tgt = jax.lax.stop_gradient(e_u + w * (e_c - e_u))
+
+        def loss_fn(params):
+            out = student.apply({"params": params}, x_t, t, y_b,
+                                vals_b, mask_b)
+            eps_s = out[0] if isinstance(out, tuple) else out
+            return jnp.mean(jnp.square(eps_s - eps_tgt))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        aux = {"loss": loss}
+        if debug_targets:
+            aux["eps_tgt"] = eps_tgt
+            aux["t"] = t
+        return state, aux
+
+    return step
+
+
 def make_distill_step(
     student: CondUNet,
     teacher_apply: Callable,
@@ -124,6 +228,7 @@ def make_distill_step(
     guidance_w: float,
     teacher_prediction_type: str = "epsilon",
     debug_targets: bool = False,
+    x0_clip: float = 0.0,
 ):
     """One jitted progressive-distillation step over HBM-resident data.
 
@@ -177,21 +282,8 @@ def make_distill_step(
     def step(state: train_state.TrainState, teacher_params, vae_params,
              data, idx, key, tables, n_steps):
         k_vae, k_i, k_eps = jax.random.split(key, 3)
-        y_b = jnp.take(data["y"], idx, axis=0).astype(jnp.int32)
-        vals_b = jnp.take(data["vals"], idx, axis=0)
-        mask_b = jnp.take(data["mask"], idx, axis=0)
-        if vae is None and "z_mu" in data:
-            mu = jnp.take(data["z_mu"], idx, axis=0)
-            sd = jnp.take(data["z_std"], idx, axis=0)
-            z0 = mu + sd * jax.random.normal(k_vae, mu.shape,
-                                             dtype=mu.dtype)
-        elif vae is None:
-            z0 = jnp.take(data["z0"], idx, axis=0)
-        else:
-            images = jnp.take(data["image_u8"], idx, axis=0).astype(
-                jnp.float32) / 255.0
-            z0, _ = vae.apply({"params": vae_params}, images,
-                              method=VAE.encode, rngs={"sample": k_vae})
+        z0, y_b, vals_b, mask_b = _gather_z0(vae, data, idx, k_vae,
+                                             vae_params)
         B = z0.shape[0]
         nd = z0.ndim
 
@@ -217,8 +309,14 @@ def make_distill_step(
         x0_2 = (x_m - sm * e2) / am
         x_n = an * x0_2 + sn * e2
 
-        x0_tgt = jax.lax.stop_gradient(
-            implied_x0_target(x_t, x_n, at, st, an, sn))
+        x0_tgt = implied_x0_target(x_t, x_n, at, st, an, sn)
+        if x0_clip > 0.0:
+            # residual-miscalibration bound: with guidance folded the
+            # implied x0 should live in the latent data range; clip the
+            # rare high-t blowups instead of letting them dominate the
+            # regression (module docstring; real latents span |z0|≲2)
+            x0_tgt = jnp.clip(x0_tgt, -x0_clip, x0_clip)
+        x0_tgt = jax.lax.stop_gradient(x0_tgt)
 
         # truncated-SNR loss weight (Salimans & Ho §3.3): max(ᾱ/(1−ᾱ), 1)
         snr_w = jnp.maximum((at / st) ** 2, 1.0)
@@ -273,14 +371,22 @@ def progressive_distill(
     sync_every: int = 25,
     rss_limit_gb: float = 100.0,
     log_rss_every: int = 0,
+    fold_steps: Optional[int] = None,
+    x0_clip: float = 4.0,
 ) -> Tuple[dict, List[dict]]:
-    """Run the halving schedule start_steps → min_steps.
+    """Run guidance folding (when ``guidance_w > 0``) then the halving
+    schedule start_steps → min_steps.
 
-    Each stage initializes the student from the current teacher, trains
-    ``steps_per_stage`` optimizer steps, then promotes the student to
-    teacher (which is a v-model from stage 2 on). Returns
-    ``(final_params, stage_logs)``; ``on_stage_done(S, params, log)`` can
-    checkpoint per stage.
+    The fold stage (Meng et al. Algorithm 1 stage one; ``fold_steps``
+    optimizer steps, default = ``steps_per_stage``) trains an ε-space
+    student to output the guided ε̂ in one forward; it is reported to
+    ``on_stage_done`` with S=0 and saved like any stage. Every halving
+    stage then runs at w=0 against the (folded) teacher: each initializes
+    the student from the current teacher, trains ``steps_per_stage``
+    optimizer steps with the implied-x0 target clipped to ±``x0_clip``
+    (0 disables), then promotes the student to teacher (a v-model from
+    the first halving stage on). Returns ``(final_params, stage_logs)``;
+    ``on_stage_done(S, params, log)`` can checkpoint per stage.
 
     Host-memory guards (the round-4 30000-image run was SIGKILLed at
     130 GB host RSS on a 125 GB box): ``sync_every`` blocks on the loss
@@ -317,38 +423,25 @@ def progressive_distill(
 
     teacher_ptype = teacher_prediction_type
     logs: List[dict] = []
-    steps_cache: Dict[Tuple[bool, str], Callable] = {}
-    for stage_i, S in enumerate(stages):
-        # guidance folds into the FIRST student (Meng et al. stage 1);
-        # every later teacher is already guided — re-applying CFG to it
-        # would square the guidance
-        stage_w = guidance_w if stage_i == 0 else 0.0
-        # one compiled step per (guided?, teacher-param) combination —
-        # the stage grid arrives as padded runtime tables, so every
-        # later stage reuses the first v-teacher compile
-        ck = (stage_w > 0.0, teacher_ptype)
-        if ck not in steps_cache:
-            steps_cache[ck] = make_distill_step(
-                student, student.apply, vae, schedule, stage_w,
-                teacher_prediction_type=teacher_ptype,
-            )
-        step = steps_cache[ck]
-        tables, n_steps = stage_tables(schedule, S, pad_to=stages[0])
-        n_steps_dev = jnp.asarray(n_steps, jnp.int32)
+    steps_cache: Dict[Tuple[str, str], Callable] = {}
+
+    def run_stage(S, step, extra, n_iters):
+        """Shared optimizer loop + dispatch-queue bound + RSS watchdog.
+        S=0 labels the guidance-fold stage."""
+        nonlocal key
         state = train_state.TrainState.create(
             apply_fn=None,
             params=jax.tree_util.tree_map(jnp.copy, teacher_params),
             tx=optax.adam(lr),
         )
         losses = []
-        for it in range(steps_per_stage):
+        for it in range(n_iters):
             idx = jnp.asarray(
                 rng.integers(0, n, size=batch_size), jnp.int32)
             key, k = jax.random.split(key)
             state, aux = step(state, teacher_params, vae_params, data,
-                              idx, k, tables, n_steps_dev)
-            if it % max(1, steps_per_stage // 20) == 0 or \
-                    it == steps_per_stage - 1:
+                              idx, k, *extra)
+            if it % max(1, n_iters // 20) == 0 or it == n_iters - 1:
                 losses.append(float(aux["loss"]))
             elif sync_every and it % sync_every == 0:
                 jax.block_until_ready(aux["loss"])
@@ -371,8 +464,33 @@ def progressive_distill(
                         f"does (stage-partial checkpoint saved)")
         log = {"steps": S, "losses": losses}
         logs.append(log)
-        teacher_params = state.params
-        teacher_ptype = "v"  # students are v-models from here on
         if on_stage_done is not None:
-            on_stage_done(S, teacher_params, log)
+            on_stage_done(S, state.params, log)
+        return state.params
+
+    if guidance_w > 0.0:
+        # stage 0: fold CFG into the weights in ε-space (student stays an
+        # ε-model; see make_fold_step). All halving stages then run w=0.
+        fold = make_fold_step(student, student.apply, vae, schedule,
+                              guidance_w,
+                              teacher_prediction_type=teacher_ptype)
+        teacher_params = run_stage(0, fold, (),
+                                   fold_steps or steps_per_stage)
+        teacher_ptype = "epsilon"  # folded student is an ε-model
+
+    for S in stages:
+        # one compiled step per teacher parameterization — the stage grid
+        # arrives as padded runtime tables, so every later stage reuses
+        # the first v-teacher compile
+        if teacher_ptype not in steps_cache:
+            steps_cache[teacher_ptype] = make_distill_step(
+                student, student.apply, vae, schedule, 0.0,
+                teacher_prediction_type=teacher_ptype, x0_clip=x0_clip,
+            )
+        step = steps_cache[teacher_ptype]
+        tables, n_steps = stage_tables(schedule, S, pad_to=stages[0])
+        teacher_params = run_stage(
+            S, step, (tables, jnp.asarray(n_steps, jnp.int32)),
+            steps_per_stage)
+        teacher_ptype = "v"  # students are v-models from here on
     return teacher_params, logs

@@ -152,6 +152,88 @@ def test_preencoded_moments_path():
     assert 0.01 < spread < 0.5  # a real N(0, 0.1²) perturbation
 
 
+def test_fold_step_target_is_guided_mix():
+    """The guidance-fold stage regresses the student onto
+    ε_u + w·(ε_c − ε_u) in ε-space at matched t (Meng et al. Alg. 1 stage
+    one) — pinned with a teacher whose ε depends only on the label."""
+    from diffusion_model_tpu.train.distill import make_fold_step
+
+    T = 16
+    sched = DiffusionSchedule.create(T)
+    key = jax.random.PRNGKey(0)
+    unet, params = _tiny_student(key)
+
+    def teacher_apply(tvars, x, t, y, vals, mask):
+        del tvars, vals, mask
+        e = jnp.where(y.reshape(-1, 1, 1, 1) > 0,
+                      jnp.ones_like(x), -jnp.ones_like(x))
+        return (e, None)
+
+    n, w = 8, 2.5
+    data = {
+        "z_mu": jnp.zeros((n, 8, 8, 2)),
+        "z_std": jnp.ones((n, 8, 8, 2)),
+        "y": jnp.ones((n,), jnp.int32),
+        "vals": jnp.zeros((n, 12)),
+        "mask": jnp.zeros((n, 12)),
+    }
+    import optax
+    from flax.training import train_state
+    step = make_fold_step(unet, teacher_apply, None, sched, guidance_w=w,
+                          debug_targets=True)
+    state = train_state.TrainState.create(
+        apply_fn=None, params=params, tx=optax.adam(1e-4))
+    _, aux = step(state, params, None, data,
+                  jnp.arange(n, dtype=jnp.int32), jax.random.PRNGKey(2))
+    # e_u = -1 (label nulled), e_c = +1 → target = -1 + w·2 everywhere
+    np.testing.assert_allclose(np.asarray(aux["eps_tgt"]), -1.0 + 2 * w,
+                               atol=1e-6)
+    assert 1 <= int(aux["t"].min()) and int(aux["t"].max()) <= T
+
+
+def test_distill_x0_clip_bounds_target():
+    """x0_clip caps the implied-x0 target: with a wildly miscalibrated
+    teacher the unclipped target blows past the latent range, the clipped
+    one cannot (the round-4 stage-1 failure mode, module docstring)."""
+    T = 1000
+    sched = DiffusionSchedule.create(T)
+    key = jax.random.PRNGKey(0)
+    unet, params = _tiny_student(key)
+    n = 4
+    data = {
+        "z0": 0.3 * jax.random.normal(jax.random.fold_in(key, 1),
+                                      (n, 8, 8, 2)),
+        "y": jnp.ones((n,), jnp.int32),
+        "vals": jnp.zeros((n, 12)),
+        "mask": jnp.zeros((n, 12)),
+    }
+
+    def bad_teacher(tvars, x, t, y, vals, mask):
+        del tvars, vals, mask  # ~0.3 off a calibrated ε at every t
+        return (0.7 * x + 0.3, None)
+
+    import optax
+    from flax.training import train_state
+    tables, n_steps = stage_tables(sched, 8)
+    for clip, bound in ((0.0, None), (4.0, 4.0)):
+        step = make_distill_step(unet, bad_teacher, None, sched,
+                                 guidance_w=0.0, debug_targets=True,
+                                 x0_clip=clip)
+        state = train_state.TrainState.create(
+            apply_fn=None,
+            params=jax.tree_util.tree_map(jnp.copy, params),
+            tx=optax.adam(1e-4))
+        _, aux = step(state, params, None, data,
+                      jnp.arange(n, dtype=jnp.int32), jax.random.PRNGKey(3),
+                      tables, jnp.asarray(n_steps, jnp.int32))
+        m = float(jnp.abs(aux["x0_tgt"]).max())
+        if bound is None:
+            unclipped_max = m
+        else:
+            assert m <= bound + 1e-5
+    assert unclipped_max > 4.0  # the probe scenario really does blow up
+
+
 @pytest.mark.heavy
 def test_progressive_distill_tiny_end_to_end():
     """Full halving run (4 → 2) on a tiny v-teacher; the distilled student
@@ -175,7 +257,8 @@ def test_progressive_distill_tiny_end_to_end():
         lr=1e-4, guidance_w=2.0, teacher_prediction_type="epsilon",
         seed=0,
     )
-    assert [l["steps"] for l in logs] == [4, 2]
+    # stage 0 = the ε-space guidance fold, then the halving stages
+    assert [l["steps"] for l in logs] == [0, 4, 2]
     assert all(np.isfinite(l["losses"]).all() for l in logs)
 
     # sample the distilled student: v-model, trailing grid, guidance OFF
