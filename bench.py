@@ -24,16 +24,20 @@ count of the whole program (2B CFG U-Net forwards × T steps + whole-batch
 VAE decode).
 
 Round 4 on, the headline measures the CERTIFIED production fast path:
-``ddpm_cached`` k=2 — the same T=1000 guided DDPM trajectory with the
-U-Net encoder computed every 2nd step ("Faster Diffusion" reuse; the
-decoder+skip path still runs all 1000 steps). Certified within metric
-noise of exact DDPM-1000 on 200 images/class × 3 classes
-(quality_r2/ddpm_cached2_cert.json: recall 0.681/0.814/0.791 vs
-0.673/0.809/0.785). The exact no-reuse DDPM number is ALWAYS reported
-alongside under ``exact_ddpm`` (round-2/3 headline continuity); set
-BENCH_EXACT_ONLY=1 to make the headline the exact path again.
+``ddpm_cached`` — the same T=1000 guided DDPM trajectory with the U-Net
+encoder computed every k-th step ("Faster Diffusion" reuse; the
+decoder+skip path still runs all 1000 steps). Round 5 promotes the
+default to k=3 (VERDICT r4 next #3): its promotion-gate cert is green —
+recall 0.688/0.819/0.795 vs exact DDPM's 0.673/0.809/0.785, every cell
+within metric noise (quality_r2/ddpm_cached3_cert.json) — and it
+measured 11.25 img/s steady vs k=2's 10.98. k=2 remains certified
+(quality_r2/ddpm_cached2_cert.json) and selectable via BENCH_CACHE_K=2.
+The exact no-reuse DDPM number is ALWAYS reported alongside under
+``exact_ddpm`` (round-2/3 headline continuity); set BENCH_EXACT_ONLY=1
+to make the headline the exact path again.
 
 Env overrides: BENCH_BATCH (default 64), BENCH_REPS (default 5),
+BENCH_CACHE_K (default 3) encoder-reuse interval for the headline,
 BENCH_EXACT_ONLY=1 headline = exact DDPM (skip the cached fast path),
 BENCH_SWEEP=1 adds a batch sweep [32, 64, 128, 256] to the extras,
 BENCH_DDIM=1 adds the 50-step DDIM fast-path measurement to the extras,
@@ -336,15 +340,16 @@ def main():
 
     exact = time_batch(pipe, batch, reps, key)
     exact_only = os.environ.get("BENCH_EXACT_ONLY", "0") == "1"
+    cache_k = int(os.environ.get("BENCH_CACHE_K", "3"))
     if exact_only:
         head, method = exact, "ddpm"
     else:
         # certified fast path (see module docstring): T=1000 guided DDPM
-        # with encoder reuse k=2, quality-pinned vs exact DDPM in
-        # quality_r2/ddpm_cached2_cert.json
+        # with encoder reuse k (default 3 since round 5), quality-pinned
+        # vs exact DDPM in quality_r2/ddpm_cached<k>_cert.json
         head = time_batch(pipe, batch, reps, jax.random.fold_in(key, 41),
-                          method="ddpm_cached", steps=2)
-        method = "ddpm_cached_k2"
+                          method="ddpm_cached", steps=cache_k)
+        method = f"ddpm_cached_k{cache_k}"
     # Headline = sustained throughput over reps×batch images (fetch
     # overlapped with compute); per-batch latency reps reported alongside.
     ips = head["ips_steady"] / n_chips
@@ -357,7 +362,7 @@ def main():
     extras = {}
     if not exact_only:
         extras["exact_ddpm"] = exact
-        extras["quality_cert"] = "quality_r2/ddpm_cached2_cert.json"
+        extras["quality_cert"] = f"quality_r2/ddpm_cached{cache_k}_cert.json"
     if os.environ.get("BENCH_DDIM", "0") == "1":
         extras["ddim50"] = time_batch(pipe, batch, reps,
                                       jax.random.fold_in(key, 999),

@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip validation (import: structure/shape check "
                          "against a fresh framework model; export: "
                          "leaf-identical round-trip through the importer)")
+    ap.add_argument("--force", action="store_true",
+                    help="export a v-prediction or non-linear-schedule "
+                         "checkpoint to .pth anyway (the reference Diffuser "
+                         "unconditionally treats model output as epsilon on "
+                         "linear betas, /root/reference/diff.py:32-56 — such "
+                         "an export strict-loads but silently generates "
+                         "garbage there)")
     return ap
 
 
@@ -174,6 +181,42 @@ def _export(args) -> None:
     if "params" in tree and isinstance(tree["params"], dict):
         tree = tree["params"]  # full-state artifacts wrap the weights
 
+    # Sampling-semantics guard (VERDICT r4 next #5): the reference's
+    # Diffuser assumes ε-prediction on linear betas unconditionally
+    # (/root/reference/diff.py:32-56,127-162). A v-trained/distilled or
+    # cosine-schedule checkpoint exports to a .pth that strict-loads in
+    # the reference and then silently generates garbage. Read the input's
+    # .arch.json sidecar (written by every trainer + the distill CLI),
+    # refuse incompatible exports without --force, and always carry the
+    # semantics into the output sidecar.
+    try:
+        with open(args.input + ".arch.json") as f:
+            in_meta = json.load(f)
+    except OSError:
+        in_meta = {}
+    semantics = {k: in_meta[k] for k in
+                 ("prediction_type", "schedule_kind", "num_timesteps",
+                  "guidance_scale", "timestep_spacing", "distilled_steps")
+                 if k in in_meta}
+    incompat = []
+    if semantics.get("prediction_type", "epsilon") != "epsilon":
+        incompat.append(f"prediction_type="
+                        f"{semantics['prediction_type']} (reference "
+                        f"assumes epsilon)")
+    if semantics.get("schedule_kind", "linear") != "linear":
+        incompat.append(f"schedule_kind={semantics['schedule_kind']} "
+                        f"(reference hardcodes linear betas)")
+    if incompat:
+        msg = ("WARNING: this checkpoint is NOT reference-compatible: "
+               + "; ".join(incompat)
+               + ". The exported .pth will strict-load into the reference "
+                 "classes but its Diffuser will sample it incorrectly.")
+        print(msg, file=sys.stderr)
+        if not args.force:
+            sys.exit("refusing to export (pass --force to export anyway; "
+                     "the semantics are recorded in the output's "
+                     ".arch.json either way)")
+
     kind = tx.detect_tree_arch(tree) if args.arch == "auto" else args.arch
     if kind == "vae":
         sd = tx.export_vae_params(tree)
@@ -201,7 +244,7 @@ def _export(args) -> None:
                 sys.exit(f"export round-trip mismatch at leaf {k}")
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
                 for k, v in sd.items()}, args.output)
-    meta = {"kind": kind, **arch}
+    meta = {"kind": kind, **arch, **semantics}
     with open(args.output + ".arch.json", "w") as f:
         json.dump(meta, f, indent=2)
     print(f"[OK] {kind} checkpoint exported -> {args.output}")

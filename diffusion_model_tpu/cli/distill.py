@@ -173,10 +173,44 @@ def main(argv=None) -> None:
     # trained on cosine betas must be distilled on the same ᾱ table)
     from .generate_cond import _arch_sidecar
     ua = _arch_sidecar(args.unet_ckpt)
+    schedule_kind = args.schedule or ua.get("schedule_kind", "linear")
     schedule = DiffusionSchedule.create(
         args.num_timesteps or ua.get("num_timesteps", 1000),
-        kind=args.schedule or ua.get("schedule_kind", "linear"))
+        kind=schedule_kind)
     os.makedirs(args.out_dir, exist_ok=True)
+
+    def write_sidecar(ckpt_path, prediction_type, steps=None):
+        """Every distilled checkpoint gets the same ``.arch.json`` sidecar
+        the trainers write (train_latent.py::_write_arch_sidecars), so the
+        inference CLIs auto-apply the correct parameterization. Critical
+        here: the halving stages emit v-prediction students that MUST be
+        sampled with a trailing grid and guidance already folded in —
+        without the sidecar a consumer defaults to epsilon and silently
+        generates garbage (ADVICE r4 #1)."""
+        import json as _json
+
+        meta = {
+            "kind": "unet",
+            "in_ch": args.z_channels,
+            "time_dim": args.time_dim,
+            "num_classes": 3,
+            "geom_dim": args.geom_dim,
+            "with_geom_head": True,
+            "base_ch": args.base_ch,
+            "schedule_kind": schedule_kind,
+            "num_timesteps": schedule.num_timesteps,
+            "prediction_type": prediction_type,
+            # guidance was folded into the weights during the fold stage;
+            # sample with CFG OFF and the trailing step grid
+            "guidance_scale": 0.0 if prediction_type == "v" else None,
+            "timestep_spacing": "trailing" if prediction_type == "v"
+            else None,
+        }
+        if steps is not None:
+            meta["distilled_steps"] = steps
+        meta = {k: v for k, v in meta.items() if v is not None}
+        with open(ckpt_path + ".arch.json", "w") as f:
+            _json.dump(meta, f, indent=2)
 
     def on_stage(S, params, log):
         base = "distilled_fold" if S == 0 else f"distilled_S{S}"
@@ -184,6 +218,10 @@ def main(argv=None) -> None:
                 if "partial" in log else f"{base}.msgpack")
         path = os.path.join(args.out_dir, name)
         save_params(path, params)
+        # fold-stage output is still an ε-model (guidance folded, steps not
+        # yet reduced); every halving-stage output is a v-model
+        write_sidecar(path, "epsilon" if S == 0 else "v",
+                      steps=None if S == 0 else S)
         tail = [round(x, 5) for x in log["losses"][-3:]]
         print(f"[stage S={S}] loss tail {tail} -> {path}", flush=True)
 
@@ -209,9 +247,10 @@ def main(argv=None) -> None:
             print(f"resuming after completed stage S={deepest} ({path})",
                   flush=True)
             if deepest == args.min_steps:
-                save_params(os.path.join(args.out_dir,
-                                         "distilled_final.msgpack"),
-                            teacher_params)
+                final_path = os.path.join(args.out_dir,
+                                          "distilled_final.msgpack")
+                save_params(final_path, teacher_params)
+                write_sidecar(final_path, "v", steps=args.min_steps)
                 print("[OK] all stages already complete; final re-saved")
                 return
             start_steps = deepest // 2
@@ -239,6 +278,7 @@ def main(argv=None) -> None:
     )
     path = os.path.join(args.out_dir, "distilled_final.msgpack")
     save_params(path, final)
+    write_sidecar(path, "v", steps=args.min_steps)
     print(f"[OK] distilled checkpoint: {path} "
           f"(sample: --sampler ddim --num_inference_steps "
           f"{args.min_steps} --timestep_spacing trailing "

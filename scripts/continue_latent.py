@@ -149,6 +149,13 @@ def main():
     if args.ema_decay > 0.0:
         save_params(f"./model_para/trained_para_cont{args.tag}_ema.msgpack",
                     state.ema_params)
+    # sidecars so inference CLIs / distill auto-apply the right schedule
+    # and parameterization (same convention as the trainers')
+    from diffusion_model_tpu.train.train_latent import _write_arch_sidecars
+    _write_arch_sidecars(cfg, [
+        f"./model_para/trained_para_cont{args.tag}.msgpack",
+    ] + ([f"./model_para/trained_para_cont{args.tag}_ema.msgpack"]
+         if args.ema_decay > 0.0 else []))
     log["train_s"] = round(time.time() - t0, 1)
     log["losses_every10"] = losses_hist
 

@@ -49,10 +49,22 @@ def main():
                     help="v for distilled / v-trained checkpoints")
     ap.add_argument("--out_name", default=None,
                     help="override the <method><steps>_cert.json filename")
+    ap.add_argument("--gen_tag", default=None,
+                    help="override the generated_by_cond/<tag>/ output dir "
+                         "(default <method><steps>[_<spacing>]); needed "
+                         "when certifying two checkpoints with the same "
+                         "sampler settings")
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--ddpm_summary", default="./continue_summary.json",
                     help="existing summary holding this checkpoint's "
                          "DDPM-1000 metrics for the comparison table")
+    ap.add_argument("--ddpm_metrics_key", default="metrics",
+                    help="key inside --ddpm_summary holding the DDPM "
+                         "metrics table (metrics_ema for EMA checkpoints)")
+    ap.add_argument("--no_warmup", action="store_true",
+                    help="skip the untimed warm-up generation (ADVICE r4 "
+                         "#5: without it the first class's gen_s absorbs "
+                         "the jit compile)")
     args = ap.parse_args()
     os.chdir(os.path.abspath(args.root))
 
@@ -81,20 +93,13 @@ def main():
     sampler = CsvConditionSampler(pipe, class_id=1, image_hw=hw)
 
     log = {"config": vars(args), "vae_ckpt": vae_ckpt}
-    t0 = time.time()
-    metrics = {}
-    for cls, cname in CLASS_NAMES.items():
-        d = f"./data/{cname}_{sfx}_test"
-        tag = f"{args.method}{args.steps}"
-        if args.spacing != "linear":
-            tag += f"_{args.spacing}"
-        cls_dir = f"./generated_by_cond/{tag}/{cname}"
-        os.makedirs(cls_dir, exist_ok=True)
+
+    def _gen(cls, cname, key):
         sampler.set_class_id(cls)
-        tg = time.time()
-        imgs = sampler.sample(
-            f"{d}/{cname}_{sfx}_test.csv", count=args.gen_count,
-            guidance_scale=args.guidance, key=jax.random.PRNGKey(100 + cls),
+        return sampler.sample(
+            f"./data/{cname}_{sfx}_test/{cname}_{sfx}_test.csv",
+            count=args.gen_count,
+            guidance_scale=args.guidance, key=key,
             method=args.method,
             num_inference_steps=(0 if args.method == "ddpm_cached"
                                  else args.steps),
@@ -103,6 +108,27 @@ def main():
                             else 2),
             eta=args.eta,
         )
+
+    if not args.no_warmup:
+        # One untimed full-shape generation so the jit compile (shared by
+        # all classes — identical batch shape/params) is paid here, not
+        # inside the first class's recorded gen_s (ADVICE r4 #5).
+        tw = time.time()
+        _gen(1, CLASS_NAMES[1], jax.random.PRNGKey(0))
+        log["warmup_s"] = round(time.time() - tw, 1)
+        print(f"warm-up (compile) {log['warmup_s']}s", flush=True)
+
+    t0 = time.time()
+    metrics = {}
+    for cls, cname in CLASS_NAMES.items():
+        d = f"./data/{cname}_{sfx}_test"
+        tag = args.gen_tag or (
+            f"{args.method}{args.steps}"
+            + ("" if args.spacing == "linear" else f"_{args.spacing}"))
+        cls_dir = f"./generated_by_cond/{tag}/{cname}"
+        os.makedirs(cls_dir, exist_ok=True)
+        tg = time.time()
+        imgs = _gen(cls, cname, jax.random.PRNGKey(100 + cls))
         save_images(cls_dir, imgs)
         gen_s = time.time() - tg
         res = evaluate_dirs(gt_dir=d, gen_dir=cls_dir,
@@ -113,7 +139,9 @@ def main():
         metrics[cname] = {
             k: round(float(s[k]), 4)
             for k in ("iou_mean", "gt_iou_mean", "far_noise_ratio_mean",
-                      "gauss_recall_mean", "gauss_recall_median")
+                      "gauss_recall_mean", "gauss_recall_median",
+                      "gauss_overdraw_rate_gt1")
+            if k in s
         }
         metrics[cname]["gen_s"] = round(gen_s, 1)
         print(cname, metrics[cname], flush=True)
@@ -123,7 +151,8 @@ def main():
 
     if os.path.exists(args.ddpm_summary):
         with open(args.ddpm_summary) as f:
-            log["ddpm_metrics"] = json.load(f).get("metrics")
+            log["ddpm_metrics"] = json.load(f).get(args.ddpm_metrics_key)
+        log["ddpm_metrics_key"] = args.ddpm_metrics_key
 
     _sfx = "" if args.spacing == "linear" else f"_{args.spacing}"
     _name = args.out_name or f"{args.method}{args.steps}{_sfx}_cert.json"

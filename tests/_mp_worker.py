@@ -115,4 +115,38 @@ assert np.isfinite(loss), loss
 state, m2 = step(state, vae_params, batch, jax.random.fold_in(rng, 1))
 loss2 = float(m2["loss"])
 assert np.isfinite(loss2), loss2
+
+# DP-sharded INFERENCE across both hosts (VERDICT r4 next #7 — the
+# training-only coverage gap): the distilled serving shape (DDIM-8 on the
+# trailing grid, guidance 0; quality_r2/distill8*_cert.json flags) with
+# the request batch sharded over the global 'data' axis — one row per
+# device, each process feeding only its local half, exactly like a
+# 2-host serving fan-out.
+from functools import partial  # noqa: E402
+
+from diffusion_model_tpu.diffusion import sample_loop_ddim  # noqa: E402
+
+def eps_fn(z, t, yv, cv, cm):
+    out = unet.apply({"params": state.params}, z, t, yv, cv, cm)
+    return out[0] if isinstance(out, tuple) else out
+
+loc = 4  # rows per process (one per local device)
+bsh4 = NamedSharding(mesh, P("data"))
+x0 = jax.make_array_from_process_local_data(
+    bsh4, np.random.default_rng(10 + pid).normal(
+        size=(loc, 4, 4, 4)).astype(np.float32))
+y_inf = jax.make_array_from_process_local_data(
+    bsh4, np.ones((loc,), np.int32))
+cv = jax.make_array_from_process_local_data(
+    bsh4, np.zeros((loc, 12), np.float32))
+cm = jax.make_array_from_process_local_data(
+    bsh4, np.ones((loc, 12), np.float32))
+samp = jax.jit(partial(sample_loop_ddim, DiffusionSchedule.create(8),
+                       eps_fn, num_inference_steps=8, guidance_scale=0.0,
+                       timestep_spacing="trailing"))
+xs = samp(x0, jax.random.fold_in(rng, 2), y=y_inf,
+          cond_vals=cv, cond_mask=cm)
+for s in xs.addressable_shards:
+    assert np.isfinite(np.asarray(s.data)).all(), "non-finite sample shard"
+print("MP_INFER_OK", flush=True)
 print(f"MP_OK {loss:.6f} {loss2:.6f}", flush=True)

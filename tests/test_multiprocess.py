@@ -54,6 +54,8 @@ def test_two_process_dp_train_step():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert "MP_OK" in out, f"worker {i} no MP_OK:\n{out[-3000:]}"
+        # DP-sharded inference leg (distilled serving shape) also ran
+        assert "MP_INFER_OK" in out, f"worker {i} no MP_INFER_OK:\n{out[-3000:]}"
     # identical replicated loss on both hosts = the all-reduce really
     # spanned processes (divergent data halves would disagree otherwise)
     l0 = outs[0].split("MP_OK")[1].split()

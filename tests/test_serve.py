@@ -146,10 +146,14 @@ def batch_server():
         unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
         schedule=DiffusionSchedule.create(4), use_data_parallel=False,
     )
+    # a v-prediction pipe so the distilled preset is servable (HTTP
+    # semantics only — the tiny random weights never see a quality check)
+    pipe.prediction_type = "v"
     batcher = DynamicBatcher(pipe, (32, 32), 4, 0.5)
     srv = ThreadingHTTPServer(
         ("127.0.0.1", 0),
-        make_handler(pipe, (32, 32), 4, "ddpm", batcher=batcher))
+        make_handler(pipe, (32, 32), 4, "ddpm", batcher=batcher,
+                     distilled_preset={"steps": 2}))
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
@@ -177,6 +181,19 @@ def test_dynamic_batching_coalesces_concurrent_requests(batch_server):
         assert code == 200, body
         assert len(body["images"]) == want_count
         assert body["batched_requests"] == 2, (name, body["batched_requests"])
+
+
+def test_distilled_preset(batch_server, server):
+    """VERDICT r4 next #9: 'distilled' expands to the certified preset
+    (DDIM, sidecar step count, trailing, guidance 0) on a v-checkpoint
+    server, and is a client-attributable 400 on an ε-checkpoint server."""
+    code, body = _post(batch_server, {"class_id": 1, "count": 1,
+                                      "sampler": "distilled", "seed": 3})
+    assert code == 200 and len(body["images"]) == 1
+    # the plain `server` fixture loaded an ε-model (distilled_preset=None)
+    code, body = _post(server, {"class_id": 1, "count": 1,
+                                "sampler": "distilled"})
+    assert code == 400 and "distilled" in body["error"]
 
 
 def test_dynamic_batching_solo_and_errors(batch_server):
@@ -295,7 +312,7 @@ def test_load_eight_concurrent_mixed_sampler_clients(batch_server):
          "num_inference_steps": 2, "seed": 16},
         {"class_id": 1, "count": 2, "sampler": "ddpm_cached",
          "cache_interval": 2, "seed": 17},
-        {"class_id": 2, "count": 1, "guidance_scale": 1.5, "seed": 18},
+        {"class_id": 2, "count": 1, "sampler": "distilled", "seed": 18},
     ]
     results = [None] * len(payloads)
 

@@ -144,6 +144,44 @@ def test_cli_export_round_trip(tmp_path):
     _assert_trees_equal(params, tree)
 
 
+def test_cli_export_vpred_guard(tmp_path):
+    """VERDICT r4 next #5: exporting a v-prediction (distilled) checkpoint
+    to reference .pth must refuse without --force — the reference Diffuser
+    unconditionally treats model output as ε (diff.py:32-56), so the
+    export would strict-load and silently generate garbage. --force
+    exports but records the semantics in the output sidecar."""
+    from diffusion_model_tpu.train.checkpoints import save_params
+
+    _, params = _init_unet(UNET_VARIANTS["geom"])
+    src = tmp_path / "distilled.msgpack"
+    save_params(str(src), params)
+    with open(str(src) + ".arch.json", "w") as f:
+        json.dump({"kind": "unet", "prediction_type": "v",
+                   "schedule_kind": "linear", "num_timesteps": 1000,
+                   "timestep_spacing": "trailing", "guidance_scale": 0.0,
+                   "distilled_steps": 8}, f)
+
+    env = dict(os.environ, DIFFUSION_TPU_PLATFORM="cpu",
+               PYTHONPATH="/root/repo")
+    pth = tmp_path / "distilled.pth"
+    cmd = [sys.executable, "-m",
+           "diffusion_model_tpu.cli.convert_checkpoint",
+           "--input", str(src), "--output", str(pth)]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r.returncode != 0
+    assert "NOT reference-compatible" in r.stderr
+    assert not pth.exists()
+
+    r = subprocess.run(cmd + ["--force"], capture_output=True, text=True,
+                       env=env)
+    assert r.returncode == 0, r.stderr
+    with open(str(pth) + ".arch.json") as f:
+        meta = json.load(f)
+    assert meta["prediction_type"] == "v"
+    assert meta["timestep_spacing"] == "trailing"
+    assert meta["distilled_steps"] == 8
+
+
 @pytest.mark.skipif(not os.path.isdir(REFERENCE_DIR),
                     reason="reference checkout not available")
 def test_real_reference_unet_loads_exported_state_dict():
