@@ -48,13 +48,14 @@ def main():
     a = ap.parse_args()
 
     cont = load(a.root, "continue_summary_cos.json") or {}
+    prior = load(a.root, "continue_summary.json") or {}
     teacher8 = load(a.root, "teacher_ddim8_cert.json") or {}
     student = load(a.root, "distill8_cos_cert.json") or {}
     sweep = load(a.root, "line_guidance_sweep.json") or {}
     div = load(a.root, "diversity_distill8.json") or {}
 
     print("### cos+EMA continuation (regenerated round 5)\n")
-    print(table([("cont (prior)", None),
+    print(table([("cont (prior)", prior.get("metrics")),
                  ("cos raw", cont.get("metrics")),
                  ("cos+EMA", cont.get("metrics_ema"))]))
     print(f"\ntrain_s={cont.get('train_s')}  "
