@@ -61,6 +61,13 @@ def main():
     ap.add_argument("--ddpm_metrics_key", default="metrics",
                     help="key inside --ddpm_summary holding the DDPM "
                          "metrics table (metrics_ema for EMA checkpoints)")
+    ap.add_argument("--test_suffix", default="_test",
+                    help="suffix of the GT/condition set dirs "
+                         "(<class>_<HxW><suffix>). The default 200-row "
+                         "_test sets cap --gen_count at 200 (the sampler "
+                         "draws one condition per CSV row) — certifying "
+                         "at a true 500/class needs a 500-row set, e.g. "
+                         "_test500 from cli.make_dataset")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip the untimed warm-up generation (ADVICE r4 "
                          "#5: without it the first class's gen_s absorbs "
@@ -97,7 +104,8 @@ def main():
     def _gen(cls, cname, key):
         sampler.set_class_id(cls)
         return sampler.sample(
-            f"./data/{cname}_{sfx}_test/{cname}_{sfx}_test.csv",
+            f"./data/{cname}_{sfx}{args.test_suffix}/"
+            f"{cname}_{sfx}{args.test_suffix}.csv",
             count=args.gen_count,
             guidance_scale=args.guidance, key=key,
             method=args.method,
@@ -121,7 +129,7 @@ def main():
     t0 = time.time()
     metrics = {}
     for cls, cname in CLASS_NAMES.items():
-        d = f"./data/{cname}_{sfx}_test"
+        d = f"./data/{cname}_{sfx}{args.test_suffix}"
         tag = args.gen_tag or (
             f"{args.method}{args.steps}"
             + ("" if args.spacing == "linear" else f"_{args.spacing}"))
@@ -144,6 +152,10 @@ def main():
             if k in s
         }
         metrics[cname]["gen_s"] = round(gen_s, 1)
+        # actual images produced: the sampler draws one condition per CSV
+        # row, so a --gen_count above the row count caps silently — record
+        # the real n so a capped run can't masquerade as a larger sample
+        metrics[cname]["n_gen"] = int(len(imgs))
         print(cname, metrics[cname], flush=True)
     log["fast_metrics"] = metrics
     log["ddim_metrics"] = metrics  # back-compat key for existing renderers

@@ -50,6 +50,13 @@ def main():
     ap.add_argument("--baseline_summary", default="./continue_summary_cos.json")
     ap.add_argument("--baseline_key", default="metrics_ema")
     ap.add_argument("--out_name", default="line_guidance_sweep.json")
+    ap.add_argument("--csv", default=None,
+                    help="condition CSV override (default: the 200-row "
+                         "line test set; pass a _test500 CSV for a "
+                         "fresh-conditions confirm — counts above the "
+                         "row count cap silently)")
+    ap.add_argument("--gt_dir", default=None,
+                    help="GT dir override matching --csv")
     ap.add_argument("--method", default="ddpm",
                     help="sampler (ddpm = the certified quality sampler; "
                          "ddim for cheap smokes)")
@@ -77,8 +84,8 @@ def main():
         latent_hw=(28, 28), image_hw=(224, 224),
     )
     sampler = CsvConditionSampler(pipe, class_id=1, image_hw=(224, 224))
-    csv = "./data/line_224x224_test/line_224x224_test.csv"
-    gt_dir = "./data/line_224x224_test"
+    csv = args.csv or "./data/line_224x224_test/line_224x224_test.csv"
+    gt_dir = args.gt_dir or "./data/line_224x224_test"
 
     keys = ("iou_mean", "gt_iou_mean", "far_noise_ratio_mean",
             "gauss_recall_mean", "gauss_recall_median")
@@ -108,7 +115,11 @@ def main():
         row = res["summary"].iloc[0]
         m = {k: round(float(row[k]), 4) for k in keys}
         m["gen_s"] = round(gen_s, 1)
-        print(f"line s={s} n={count}: {m}", flush=True)
+        # one condition per CSV row: a count above the row count caps
+        # silently, so record the real n (the round-5 "confirm at 500"
+        # degenerated to the same 200 rows this way)
+        m["n_gen"] = int(len(imgs))
+        print(f"line s={s} n={m['n_gen']}: {m}", flush=True)
         return m
 
     for s in args.scales:
