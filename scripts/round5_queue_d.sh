@@ -92,4 +92,18 @@ run line_g2_test500 quality_r2/line_g2_test500.json \
 && commit_artifacts "Line guidance winner s=2.0 confirmed on 500 fresh conditions" \
   quality_r2/line_g2_test500.json
 
+# --- D4. is the s=2 win line-specific? All three classes at guidance 2
+#     on the standard 200-row set (exact DDPM, cos+EMA checkpoint): if
+#     circle/arc also improve, the right recommendation is a global
+#     guidance change, not a per-class policy.
+run allclass_g2 quality_r2/allclass_g2_cert.json \
+  python scripts/ddim_cert.py --root ./quality_r2 \
+    --ckpt ./model_para/trained_para_cont_cos_ema.msgpack \
+    --method ddpm_cached --steps 1 \
+    --prediction_type epsilon --guidance 2.0 \
+    --gen_tag allclass_g2 --out_name allclass_g2_cert.json \
+    --ddpm_summary ./continue_summary_cos.json --ddpm_metrics_key metrics_ema \
+&& commit_artifacts "All-class guidance-2.0 cert: is the line win class-specific?" \
+  quality_r2/allclass_g2_cert.json
+
 echo "[$(stamp)] queue D complete"
